@@ -6,12 +6,19 @@ is actually available (they re-check at runtime).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The execution environment may force JAX_PLATFORMS (e.g. a TPU tunnel
+# platform) via a sitecustomize that imports jax before this file runs;
+# the config knob still wins as long as no backend has been initialized.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
