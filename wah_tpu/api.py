@@ -1,0 +1,190 @@
+"""Host-facing codec API — the TPU equivalent of the reference's two
+public entry points compress() / decompress() (reference: compress.h:12-18,
+decompress.h:11-17), including their three phase timings per direction.
+
+Differences by design (TPU/XLA execution model):
+  * device arrays are padded to static shape buckets (powers of two in
+    blocks) so repeated calls hit the jit cache instead of recompiling;
+  * the compressed stream is returned exactly sized (the valid prefix of
+    the static-capacity device buffer), like the reference's exact-size
+    host malloc (compress.cu:159-184);
+  * non-block-multiple inputs are zero-padded to a 31-word multiple and
+    encoded at chunk granularity — defined behavior where the reference
+    is UB (SURVEY.md section 4.1.1-2).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import BIT31, BLOCK_CHUNKS, BLOCK_INTS, LEN_MASK, ONES31
+from .golden import chunk_count
+from .ops import decode as _decode_ops
+from .ops import encode as _encode_ops
+from .utils.timing import PhaseTimer, PhaseTimings
+
+__all__ = ["WahCodec", "compress", "decompress", "validate_stream"]
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def validate_stream(words: np.ndarray) -> None:
+    """Sanity-check a WAH stream against the format invariants
+    (SURVEY.md section 0.1): no 0x0/0x7FFFFFFF words, fill lengths in
+    [1, 1024]."""
+    words = np.asarray(words, dtype=np.uint32)
+    if np.any(words == 0) or np.any(words == ONES31):
+        raise ValueError("invalid WAH stream: contains literal-fill word")
+    fills = words[(words & np.uint32(BIT31)) != 0]
+    lens = fills & np.uint32(LEN_MASK)
+    if fills.size and (lens.min() < 1 or lens.max() > BLOCK_CHUNKS):
+        raise ValueError("invalid WAH stream: fill length out of range")
+
+
+class WahCodec:
+    """Shape-bucketed, jit-cached WAH codec.
+
+    kernel: "xla" (pure-JAX ops), "pallas" (fused TPU kernels), or
+    "auto" (pallas on TPU backends, xla elsewhere).
+    """
+
+    def __init__(self, kernel: str = "auto"):
+        assert kernel in ("auto", "xla", "pallas"), kernel
+        self._kernel = kernel
+        self._encode_fns: dict[int, object] = {}
+        self._decode_fns: dict[tuple[int, int], object] = {}
+
+    # -- kernel selection -------------------------------------------------
+    def _use_pallas(self) -> bool:
+        if self._kernel == "xla":
+            return False
+        if self._kernel == "pallas":
+            return True
+        return jax.default_backend() not in ("cpu",)
+
+    def _encode_fn(self, nb: int):
+        key = (nb, self._use_pallas())
+        fn = self._encode_fns.get(key)
+        if fn is None:
+            if key[1]:
+                from .ops.pallas import encode_kernel
+
+                fn = jax.jit(encode_kernel.encode_padded)
+            else:
+                fn = jax.jit(_encode_ops.encode_padded)
+            self._encode_fns[key] = fn
+        return fn
+
+    def _decode_fn(self, M: int, cap: int):
+        key = (M, cap, self._use_pallas())
+        fn = self._decode_fns.get(key)
+        if fn is None:
+            if key[2]:
+                from .ops.pallas import decode_kernel
+
+                fn = jax.jit(
+                    partial(decode_kernel.decode, chunk_capacity=cap)
+                )
+            else:
+                fn = jax.jit(partial(_decode_ops.decode, chunk_capacity=cap))
+            self._decode_fns[key] = fn
+        return fn
+
+    # -- public API --------------------------------------------------------
+    def compress(
+        self, data: np.ndarray
+    ) -> tuple[np.ndarray, PhaseTimings]:
+        """Bitmap (uint32 array) -> (WAH stream, phase timings).
+
+        Mirrors reference compress() (compress.cu:41-209).
+        """
+        data = np.ascontiguousarray(data, dtype=np.uint32)
+        n = data.shape[0]
+        if n == 0:
+            return np.zeros(0, dtype=np.uint32), PhaseTimings()
+        nv = chunk_count(n)
+        nb = -(-nv // BLOCK_CHUNKS)
+        nb_b = _next_pow2(nb)
+        padded = np.zeros(nb_b * BLOCK_INTS, dtype=np.uint32)
+        padded[:n] = data
+
+        t = PhaseTimer()
+        t.start()
+        dev = jax.device_put(padded)
+        dev.block_until_ready()
+        t.stop("to_device")
+
+        fn = self._encode_fn(nb_b)
+        t.start()
+        words, total = fn(dev, np.int32(nv))
+        jax.block_until_ready((words, total))
+        t.stop("kernel")
+
+        t.start()
+        total = int(total)
+        out = np.asarray(words[:total])
+        t.stop("from_device")
+        return out, t.timings
+
+    def decompress(
+        self, words: np.ndarray, out_ints: int | None = None
+    ) -> tuple[np.ndarray, PhaseTimings]:
+        """WAH stream -> (bitmap, phase timings).
+
+        Default output length is ceil(31 * total_chunks / 32) words
+        (reference: decompress.cu:82-92); pass `out_ints` to trim to the
+        original un-padded length.
+        """
+        words = np.ascontiguousarray(words, dtype=np.uint32)
+        m = words.shape[0]
+        if m == 0:
+            return np.zeros(0, dtype=np.uint32), PhaseTimings()
+        # host-side size precomputation (the reference syncs sizes
+        # mid-pipeline too: decompress.cu:72-93)
+        is_fill = (words & np.uint32(BIT31)) != 0
+        n_chunks = int(
+            np.where(is_fill, words & np.uint32(LEN_MASK), 1).sum()
+        )
+        nb = max(1, -(-n_chunks // BLOCK_CHUNKS))
+        cap = _next_pow2(nb) * BLOCK_CHUNKS
+        M = min(_next_pow2(max(m, 1024)), cap)
+        padded = np.zeros(M, dtype=np.uint32)
+        padded[:m] = words
+
+        t = PhaseTimer()
+        t.start()
+        dev = jax.device_put(padded)
+        dev.block_until_ready()
+        t.stop("to_device")
+
+        fn = self._decode_fn(M, cap)
+        t.start()
+        ints, n_ints = fn(dev, np.int32(m))
+        jax.block_until_ready((ints, n_ints))
+        t.stop("kernel")
+
+        t.start()
+        n_ints = int(n_ints)
+        out = np.asarray(ints[:n_ints])
+        t.stop("from_device")
+        if out_ints is not None:
+            out = out[:out_ints]
+        return out, t.timings
+
+
+_default = WahCodec()
+
+
+def compress(data: np.ndarray) -> tuple[np.ndarray, PhaseTimings]:
+    return _default.compress(data)
+
+
+def decompress(
+    words: np.ndarray, out_ints: int | None = None
+) -> tuple[np.ndarray, PhaseTimings]:
+    return _default.decompress(words, out_ints=out_ints)

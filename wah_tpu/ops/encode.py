@@ -50,13 +50,14 @@ def classify(chunks: jnp.ndarray) -> jnp.ndarray:
 
 
 def encode_blocks(
-    chunks: jnp.ndarray, n_valid_chunks: int | None = None
+    chunks: jnp.ndarray, n_valid_chunks=None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Encode (nb, 1024) chunks -> (staging (nb, 1024) uint32, counts (nb,) int32).
 
     Each staging row holds that block's compressed words as a dense prefix
     of `counts[b]` words, zero elsewhere (zero is never a valid word).
-    `n_valid_chunks` (static) marks trailing padding chunks as non-emitting.
+    `n_valid_chunks` (static or traced scalar) marks trailing padding
+    chunks as non-emitting.
     """
     nb, C = chunks.shape
     assert C == BLOCK_CHUNKS, chunks.shape
@@ -66,7 +67,7 @@ def encode_blocks(
     t = classify(chunks)
     col = jnp.arange(C, dtype=_I)
     gpos = jnp.arange(nb, dtype=_I)[:, None] * C + col[None, :]
-    v = gpos < _I(n_valid_chunks)
+    v = gpos < jnp.asarray(n_valid_chunks, dtype=_I)
 
     # run starts (reference run-end flags inverted; kernels.cu:126-141)
     prev_t = shift_right(t, 1, fill=-1)  # block-local: col 0 always starts
@@ -120,6 +121,19 @@ def stitch(
     return jnp.where(okf, words, _U(0)), total
 
 
+def encode_padded(
+    ints: jnp.ndarray, n_valid_chunks
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compress a block-aligned (nb*992,) uint32 bitmap whose first
+    `n_valid_chunks` (traced scalar allowed) chunks are live; trailing
+    padding emits no words. Returns (words (nb*1024,), total_count)."""
+    assert ints.shape[0] % BLOCK_INTS == 0, ints.shape
+    nb = ints.shape[0] // BLOCK_INTS
+    chunks = bits.repartition_chunks(ints.astype(_U)).reshape(nb, BLOCK_CHUNKS)
+    staging, counts = encode_blocks(chunks, n_valid_chunks)
+    return stitch(staging, counts)
+
+
 def encode(ints: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Compress a (n,) uint32 bitmap -> (words (capacity,), total_count).
 
@@ -132,6 +146,4 @@ def encode(ints: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     nb = -(-nv // BLOCK_CHUNKS)
     ints = ints.astype(_U)
     padded = jnp.zeros(nb * BLOCK_INTS, dtype=_U).at[:n].set(ints)
-    chunks = bits.repartition_chunks(padded).reshape(nb, BLOCK_CHUNKS)
-    staging, counts = encode_blocks(chunks, nv)
-    return stitch(staging, counts)
+    return encode_padded(padded, nv)
