@@ -1,0 +1,130 @@
+"""Multi-chip sharded codec tests on the 8-virtual-device CPU mesh.
+
+The reference has no distributed backend (SURVEY.md §2.2); these tests pin
+the one invariant that makes distribution free: sharded encode/decode is
+bit-identical to the single-chip path (and hence to the golden model),
+because fill runs never cross block boundaries (tests.cpp:227-239) and
+shard boundaries are block-aligned.
+"""
+import jax
+import numpy as np
+import pytest
+
+from conftest import clustered_bitmap, random_bitmap
+from wah_tpu import golden
+from wah_tpu.constants import BLOCK_CHUNKS, BLOCK_INTS
+from wah_tpu.golden import chunk_count
+from wah_tpu.parallel import (
+    ShardedCodec,
+    decode_sharded,
+    encode_sharded,
+    gather_bitmap,
+    gather_stream,
+    make_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    m = make_mesh()
+    assert m.size == 8, "conftest should provide 8 virtual CPU devices"
+    return m
+
+
+def _roundtrip(mesh, data):
+    codec = ShardedCodec(mesh)
+    stream = codec.compress(data)
+    ref = golden.encode(data)
+    np.testing.assert_array_equal(stream, ref)
+    out = codec.decompress(stream, out_ints=data.shape[0])
+    np.testing.assert_array_equal(out, data)
+
+
+def test_sharded_encode_matches_golden_random(mesh):
+    data = random_bitmap(16 * BLOCK_INTS, density=1 / 16)
+    _roundtrip(mesh, data)
+
+
+def test_sharded_encode_matches_golden_clustered(mesh):
+    data = clustered_bitmap(16 * BLOCK_INTS)
+    _roundtrip(mesh, data)
+
+
+def test_sharded_all_zeros(mesh):
+    _roundtrip(mesh, np.zeros(8 * BLOCK_INTS, dtype=np.uint32))
+
+
+def test_sharded_all_ones(mesh):
+    _roundtrip(mesh, np.full(8 * BLOCK_INTS, 0xFFFFFFFF, dtype=np.uint32))
+
+
+def test_sharded_non_block_multiple(mesh):
+    data = random_bitmap(5 * BLOCK_INTS + 17, density=0.3, seed=7)
+    _roundtrip(mesh, data)
+
+
+def test_sharded_dense(mesh):
+    data = random_bitmap(8 * BLOCK_INTS, density=0.5)
+    _roundtrip(mesh, data)
+
+
+def test_encode_sharded_totals_sum(mesh):
+    data = random_bitmap(8 * BLOCK_INTS, density=1 / 64)
+    ref = golden.encode(data)
+    dev = jax.device_put(data)
+    words, totals = encode_sharded(mesh, dev, np.int32(chunk_count(len(data))))
+    assert int(np.asarray(totals).sum()) == len(ref)
+    np.testing.assert_array_equal(gather_stream(words, totals), ref)
+
+
+def test_decode_sharded_span_partition(mesh):
+    """Each shard's output slice equals the corresponding golden slice."""
+    data = clustered_bitmap(8 * BLOCK_INTS, seed=3)
+    stream = golden.encode(data)
+    cap = 8 * BLOCK_CHUNKS
+    M = 1024
+    padded = np.zeros(M, dtype=np.uint32)
+    padded[: len(stream)] = stream
+    ints, n_chunks = decode_sharded(
+        mesh, jax.device_put(padded), np.int32(len(stream)), cap
+    )
+    n = int(np.asarray(n_chunks)[0])
+    assert n == chunk_count(len(data))
+    out = gather_bitmap(ints, (31 * n + 31) // 32)
+    np.testing.assert_array_equal(out[: len(data)], data)
+
+
+def test_sharded_jit_full_pipeline(mesh):
+    """Encode -> global stitch -> decode as ONE jitted computation with no
+    host round trips (this is the dryrun_multichip path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wah_tpu.parallel import stitch_global
+
+    data = random_bitmap(8 * BLOCK_INTS, density=1 / 8, seed=11)
+    nv = chunk_count(len(data))
+    cap = 8 * BLOCK_CHUNKS
+
+    @jax.jit
+    def step(x):
+        words, totals = encode_sharded(mesh, x, nv)
+        stream, total = stitch_global(mesh, words, totals)
+        ints, n_chunks = decode_sharded(mesh, stream, total, cap)
+        return stream, total, ints, n_chunks
+
+    dev = jax.device_put(data, NamedSharding(mesh, P("blocks")))
+    stream, total, ints, n_chunks = step(dev)
+    ref = golden.encode(data)
+    assert int(total) == len(ref)
+    np.testing.assert_array_equal(np.asarray(stream)[: int(total)], ref)
+    n = int(np.asarray(n_chunks)[0])
+    out = gather_bitmap(ints, (31 * n + 31) // 32)
+    np.testing.assert_array_equal(out[: len(data)], data)
+
+
+def test_sharded_codec_roundtrip(mesh):
+    data = clustered_bitmap(8 * BLOCK_INTS, seed=5)
+    codec = ShardedCodec(mesh)
+    stream = codec.compress(data)
+    out = codec.decompress(stream, out_ints=len(data))
+    np.testing.assert_array_equal(out, data)

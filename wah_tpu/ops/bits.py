@@ -39,18 +39,25 @@ def repartition_chunks(ints: jnp.ndarray) -> jnp.ndarray:
     return chunks.reshape(*ints.shape[:-1], -1)
 
 
-def merge_chunks(chunks: jnp.ndarray) -> jnp.ndarray:
+def merge_chunks(chunks: jnp.ndarray, carry=None) -> jnp.ndarray:
     """(..., 32k) uint32 31-bit chunks -> (..., 31k) uint32 words.
 
     Inverse of repartition_chunks:
       int[x] = (chunk[x] >> x) | (chunk[x+1] << (31-x)),  x in [0, 31),
     where chunk[32] is the next warp's chunk[0] (cross-group carry).
+    `carry` supplies the chunk following the array (shape (..., ) scalarish
+    per row, default 0) — used by the sharded decoder, where the chunk
+    after a shard's range lives on the next shard.
     """
     assert chunks.shape[-1] % 32 == 0, chunks.shape
     c = chunks.astype(_U)
-    nxt = jnp.concatenate(
-        [c[..., 1:], jnp.zeros((*c.shape[:-1], 1), dtype=_U)], axis=-1
-    )
+    if carry is None:
+        last = jnp.zeros((*c.shape[:-1], 1), dtype=_U)
+    else:
+        last = jnp.broadcast_to(
+            jnp.asarray(carry, dtype=_U), (*c.shape[:-1], 1)
+        )
+    nxt = jnp.concatenate([c[..., 1:], last], axis=-1)
     cw = c.reshape(*c.shape[:-1], -1, 32)
     nw = nxt.reshape(*c.shape[:-1], -1, 32)
     x = jnp.arange(31, dtype=_U)

@@ -8,8 +8,16 @@ expansion (each compressed word routed to its output start position)
 followed by a cummax forward-fill that recovers the covering word's fill
 type at every output chunk — O(log n) vector passes, perfectly balanced.
 
-Shapes are static: the caller supplies a chunk capacity (>= total expanded
-chunks); true sizes are returned as traced scalars.
+The core primitive is `decode_span`: expand an arbitrary window
+[base, base + chunk_capacity) of the stream's chunk space. Because every
+compressed word expands to >= 1 chunk, at most `chunk_capacity` words can
+cover a span of that many chunks, so the span decoder windows the stream
+with a dynamic slice of static size `chunk_capacity` — this is what makes
+both the sharded multi-chip decoder (each shard owns a chunk range) and
+the Pallas block decoder possible with fully static shapes.
+
+Shapes are static: the caller supplies a chunk capacity; true sizes are
+returned as traced scalars.
 """
 from __future__ import annotations
 
@@ -20,13 +28,17 @@ from ..constants import BIT31, BIT3130, LEN_MASK, ONES31
 from . import bits
 from .compact import ceil_log2, expand
 
-__all__ = ["word_counts", "decode_chunks", "decode"]
+__all__ = ["word_counts", "decode_span", "decode_chunks", "decode"]
 
 _U = jnp.uint32
 _I = jnp.int32
 
 # forward-fill type codes packed into the low 2 bits of the cummax key
 _T_ZERO, _T_ONES, _T_LIT = 1, 2, 3
+
+# offset sentinel for padded window slots: larger than any valid chunk
+# offset (max stream 2^30 chunks) but safe against int32 overflow
+_FAR = 1 << 30
 
 
 def word_counts(words: jnp.ndarray, m) -> jnp.ndarray:
@@ -39,59 +51,100 @@ def word_counts(words: jnp.ndarray, m) -> jnp.ndarray:
     return jnp.where(i < m, c, _I(0))
 
 
+def expand_window(
+    win_words: jnp.ndarray, off_local: jnp.ndarray, ok: jnp.ndarray
+) -> jnp.ndarray:
+    """Expand a word window into the (C,) chunk span it covers.
+
+    win_words: (C,) compressed words; off_local: (C,) their start chunk
+    positions relative to the span, clamped to [0, C] (non-decreasing,
+    strictly increasing over live words except a single 0-clamp at the
+    head); ok: live mask (a prefix). Returns chunks (C,) with garbage
+    beyond the covered range (caller masks by span length).
+    """
+    C = win_words.shape[0]
+    is_fill = (win_words & _U(BIT31)) != 0
+    is_ones = (win_words & _U(BIT3130)) == _U(BIT3130)
+    # chunk value at the word's start position (fills cover it too)
+    val0 = jnp.where(
+        is_fill, jnp.where(is_ones, _U(ONES31), _U(0)), win_words
+    )
+    t = jnp.where(
+        is_fill, jnp.where(is_ones, _I(_T_ONES), _I(_T_ZERO)), _I(_T_LIT)
+    )
+    # cummax key: start offset in the high bits, fill type in the low 2
+    key = (off_local << 2) | t
+
+    i = jnp.arange(C, dtype=_I)
+    d = off_local - i  # >= 0 and non-decreasing over live words
+    (val_d, key_d), ok_d = expand([val0, key], ok, d, ceil_log2(C))
+    val_d = jnp.where(ok_d, val_d, _U(0))
+    key_d = jnp.where(ok_d, key_d, _I(0))
+
+    cm = jax.lax.cummax(key_d, axis=0)
+    is_start = (cm >> 2) == i
+    covered_ones = (cm & 3) == _T_ONES
+    return jnp.where(
+        is_start, val_d, jnp.where(covered_ones, _U(ONES31), _U(0))
+    )
+
+
+def decode_span(
+    words: jnp.ndarray, m, base, chunk_capacity: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand chunks [base, base + chunk_capacity) of the stream words[:m].
+
+    Returns (chunks (chunk_capacity,), n_chunks_total) where
+    n_chunks_total is the full expanded length of the stream; span chunks
+    at or beyond n_chunks_total - base are zero. `base` may be a traced
+    scalar — this is the unit of work one shard (or one Pallas grid step)
+    owns in the distributed decoder.
+    """
+    M = words.shape[0]
+    C = chunk_capacity
+    words = words.astype(_U)
+    base = jnp.asarray(base, dtype=_I)
+    counts = word_counts(words, m)
+    offsets = jnp.cumsum(counts, dtype=_I) - counts
+    n_chunks = offsets[-1] + counts[-1]
+
+    # last word starting at or before `base` (covers the span head)
+    lo = jnp.clip(
+        jnp.searchsorted(offsets, base, side="right").astype(_I) - 1,
+        0,
+        jnp.maximum(M - 1, 0),
+    )
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((C,), fill, dtype=x.dtype)], axis=-1
+        )
+
+    win_words = jax.lax.dynamic_slice(pad(words, 0), (lo,), (C,))
+    win_off = jax.lax.dynamic_slice(pad(offsets, _FAR), (lo,), (C,))
+    win_cnt = jax.lax.dynamic_slice(pad(counts, 0), (lo,), (C,))
+    idx = lo + jnp.arange(C, dtype=_I)
+
+    ok = (idx < m) & (win_off < base + C) & (win_off + win_cnt > base)
+    off_local = jnp.clip(win_off - base, 0, C)
+    chunks = expand_window(win_words, off_local, ok)
+    i = jnp.arange(C, dtype=_I)
+    chunks = jnp.where(i < n_chunks - base, chunks, _U(0))
+    return chunks, n_chunks
+
+
 def decode_chunks(
     words: jnp.ndarray, m, chunk_capacity: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Expand words[:m] into 31-bit chunks.
 
     Returns (chunks (chunk_capacity,), n_chunks). Requires
-    chunk_capacity >= n_chunks and >= words.shape[0]; chunks beyond
-    n_chunks are zero. Fill words with zero run length are not produced
-    by any WAH encoder and are unsupported here (the golden model and
-    api layer validate streams).
+    chunk_capacity >= n_chunks; chunks beyond n_chunks are zero. Fill
+    words with zero run length are not produced by any WAH encoder and
+    are unsupported here (the golden model and api layer validate
+    streams).
     """
-    M = words.shape[0]
-    C = chunk_capacity
-    assert C >= M, (C, M)
-    words = words.astype(_U)
-    counts = word_counts(words, m)
-    offsets = jnp.cumsum(counts, dtype=_I) - counts
-    n_chunks = offsets[-1] + counts[-1]
-
-    i = jnp.arange(M, dtype=_I)
-    ok = (i < m) & (offsets < C)
-    is_fill = (words & _U(BIT31)) != 0
-    is_ones = (words & _U(BIT3130)) == _U(BIT3130)
-    # chunk value at the word's start position (fills cover it too)
-    val0 = jnp.where(is_fill, jnp.where(is_ones, _U(ONES31), _U(0)), words)
-    t = jnp.where(is_fill, jnp.where(is_ones, _I(_T_ONES), _I(_T_ZERO)), _I(_T_LIT))
-    # cummax key: start offset in the high bits, fill type in the low 2
-    key = (offsets << 2) | t
-
-    def pad(x, fill):
-        return jnp.concatenate(
-            [x, jnp.full((C - M,), fill, dtype=x.dtype)], axis=-1
-        )
-
-    d = offsets - i  # >= 0, non-decreasing (counts >= 1)
-    (val_d, key_d), ok_d = expand(
-        [pad(val0, 0), pad(key, 0)],
-        pad(ok, False),
-        pad(d, 0),
-        ceil_log2(C),
-    )
-    val_d = jnp.where(ok_d, val_d, _U(0))
-    key_d = jnp.where(ok_d, key_d, _I(0))
-
-    cm = jax.lax.cummax(key_d, axis=0)
-    col = jnp.arange(C, dtype=_I)
-    is_start = (cm >> 2) == col
-    covered_ones = (cm & 3) == _T_ONES
-    chunks = jnp.where(
-        is_start, val_d, jnp.where(covered_ones, _U(ONES31), _U(0))
-    )
-    chunks = jnp.where(col < n_chunks, chunks, _U(0))
-    return chunks, n_chunks
+    return decode_span(words, m, 0, chunk_capacity)
 
 
 def decode(

@@ -50,14 +50,16 @@ def classify(chunks: jnp.ndarray) -> jnp.ndarray:
 
 
 def encode_blocks(
-    chunks: jnp.ndarray, n_valid_chunks=None
+    chunks: jnp.ndarray, n_valid_chunks=None, chunk_base=0
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Encode (nb, 1024) chunks -> (staging (nb, 1024) uint32, counts (nb,) int32).
 
     Each staging row holds that block's compressed words as a dense prefix
     of `counts[b]` words, zero elsewhere (zero is never a valid word).
     `n_valid_chunks` (static or traced scalar) marks trailing padding
-    chunks as non-emitting.
+    chunks as non-emitting; `chunk_base` is the global chunk index of
+    chunks[0, 0] (nonzero on shards of a distributed encode, where
+    validity is judged against the global position).
     """
     nb, C = chunks.shape
     assert C == BLOCK_CHUNKS, chunks.shape
@@ -66,7 +68,11 @@ def encode_blocks(
 
     t = classify(chunks)
     col = jnp.arange(C, dtype=_I)
-    gpos = jnp.arange(nb, dtype=_I)[:, None] * C + col[None, :]
+    gpos = (
+        jnp.asarray(chunk_base, dtype=_I)
+        + jnp.arange(nb, dtype=_I)[:, None] * C
+        + col[None, :]
+    )
     v = gpos < jnp.asarray(n_valid_chunks, dtype=_I)
 
     # run starts (reference run-end flags inverted; kernels.cu:126-141)
