@@ -1,0 +1,85 @@
+"""Fused Pallas kernel tests (interpreter mode on CPU; compiled on TPU).
+
+Differential against the golden model and the pure-XLA ops — the same
+oracle strategy the reference uses (tests.cpp pinned vectors +
+roundtrips), applied to the fused kernels.
+"""
+import jax
+import numpy as np
+import pytest
+
+from conftest import clustered_bitmap, random_bitmap
+from wah_tpu import golden
+from wah_tpu.constants import BLOCK_CHUNKS, BLOCK_INTS
+from wah_tpu.golden import chunk_count
+from wah_tpu.ops.pallas import decode_kernel, encode_kernel
+
+
+def _encode(data: np.ndarray):
+    n = len(data)
+    nv = chunk_count(n)
+    nb = -(-nv // BLOCK_CHUNKS)
+    padded = np.zeros(nb * BLOCK_INTS, dtype=np.uint32)
+    padded[:n] = data
+    words, total = jax.jit(encode_kernel.encode_padded)(
+        padded, np.int32(nv)
+    )
+    return np.asarray(words)[: int(total)]
+
+
+def _decode(words: np.ndarray, cap: int):
+    M = max(1024, -(-len(words) // 1024) * 1024)
+    padded = np.zeros(M, dtype=np.uint32)
+    padded[: len(words)] = words
+    ints, n_ints = jax.jit(
+        decode_kernel.decode, static_argnums=(2,)
+    )(padded, np.int32(len(words)), cap)
+    return np.asarray(ints)[: int(n_ints)]
+
+
+CASES = [
+    ("random_sparse", lambda: random_bitmap(4 * BLOCK_INTS, 1 / 64)),
+    ("random_mid", lambda: random_bitmap(9 * BLOCK_INTS, 1 / 16, seed=3)),
+    ("random_dense", lambda: random_bitmap(8 * BLOCK_INTS, 0.5, seed=4)),
+    ("clustered", lambda: clustered_bitmap(8 * BLOCK_INTS, seed=5)),
+    ("all_zeros", lambda: np.zeros(8 * BLOCK_INTS, dtype=np.uint32)),
+    ("all_ones", lambda: np.full(8 * BLOCK_INTS, 0xFFFFFFFF, np.uint32)),
+    ("odd_size", lambda: random_bitmap(3 * BLOCK_INTS + 345, 0.1, seed=6)),
+    ("tiny", lambda: np.array([0x1, 0, 0, 0xFFFFFFFF], dtype=np.uint32)),
+]
+
+
+@pytest.mark.parametrize("name,gen", CASES, ids=[c[0] for c in CASES])
+def test_pallas_encode_matches_golden(name, gen):
+    data = gen()
+    np.testing.assert_array_equal(_encode(data), golden.encode(data))
+
+
+@pytest.mark.parametrize("name,gen", CASES, ids=[c[0] for c in CASES])
+def test_pallas_decode_roundtrip(name, gen):
+    data = gen()
+    stream = golden.encode(data)
+    nv = chunk_count(len(data))
+    cap = -(-nv // BLOCK_CHUNKS) * BLOCK_CHUNKS
+    out = _decode(stream, cap)
+    np.testing.assert_array_equal(out[: len(data)], data)
+
+
+def test_pallas_long_fills_decode():
+    """Fill runs of max length (1024) stress the window DMA path: many
+    output blocks covered by few words."""
+    data = np.zeros(64 * BLOCK_INTS, dtype=np.uint32)
+    stream = golden.encode(data)
+    assert len(stream) == 64  # one BIT31|1024 word per block
+    cap = 64 * BLOCK_CHUNKS
+    out = _decode(stream, cap)
+    np.testing.assert_array_equal(out[: len(data)], data)
+
+
+def test_pallas_stitch_dense_prefix_garbage_contract():
+    """Words beyond `total` are unspecified; everything before is exact."""
+    data = random_bitmap(16 * BLOCK_INTS, 1 / 8, seed=9)
+    ref = golden.encode(data)
+    got = _encode(data)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)

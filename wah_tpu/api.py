@@ -65,7 +65,14 @@ class WahCodec:
             return False
         if self._kernel == "pallas":
             return True
-        return jax.default_backend() not in ("cpu",)
+        if jax.default_backend() in ("cpu",):
+            return False
+        try:  # auto: fall back to XLA if the fused kernels are absent
+            from .ops.pallas import encode_kernel  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
 
     def _encode_fn(self, nb: int):
         key = (nb, self._use_pallas())
