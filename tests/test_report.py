@@ -1,0 +1,40 @@
+"""Benchmark report CLI smoke test: CSV schema parity + resumability."""
+import csv
+import os
+
+from benchmarks import report
+
+
+def test_report_sweep_and_resume(tmp_path):
+    out = tmp_path / "results.txt"
+    args = [
+        "--sizes", "1", "--densities", "1", "8",
+        "--reps", "1", "--out", str(out), "--kernel", "xla",
+    ]
+    report.main(args)
+    rows = list(csv.reader(open(out)))
+    assert rows[0] == report.HEADER
+    assert len(rows) == 3  # header + 2 configs
+    for row in rows[1:]:
+        assert len(row) == len(report.HEADER)
+        n, comp, dec = int(row[0]), int(row[1]), int(row[2])
+        assert n == 1024 * 992 and dec == n and 0 < comp
+        assert 0.0 < float(row[4]) <= 1.1  # compression ratio
+
+    # resume: completed configs skipped, no duplicate rows
+    mtime = os.path.getmtime(out)
+    report.main(args)
+    rows2 = list(csv.reader(open(out)))
+    assert len(rows2) == 3
+
+
+def test_report_density_affects_ratio(tmp_path):
+    out = tmp_path / "r.txt"
+    report.main(
+        ["--sizes", "1", "--densities", "2", "12", "--reps", "1",
+         "--out", str(out), "--kernel", "xla"]
+    )
+    rows = list(csv.reader(open(out)))[1:]
+    by_density = {float(r[3]): float(r[4]) for r in rows}
+    dense, sparse = by_density[2.0 ** -2], by_density[2.0 ** -12]
+    assert sparse < dense  # sparser bitmaps compress better

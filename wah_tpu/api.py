@@ -102,6 +102,61 @@ class WahCodec:
             self._decode_fns[key] = fn
         return fn
 
+    # -- batched columns (bitmap-index workload) ---------------------------
+    def compress_batch(
+        self, data: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Compress C equal-length bitmap columns at once.
+
+        data: (C, n) uint32. Returns (words (C, cap), totals (C,));
+        column c's stream is words[c, :totals[c]]. Uses the vmapped XLA
+        pipeline (columns become a leading batch dim; the reference
+        would call compress() per column)."""
+        data = np.ascontiguousarray(data, dtype=np.uint32)
+        C, n = data.shape
+        if n == 0:
+            return np.zeros((C, 0), np.uint32), np.zeros((C,), np.int64)
+        nv = chunk_count(n)
+        nb = _next_pow2(-(-nv // BLOCK_CHUNKS))
+        padded = np.zeros((C, nb * BLOCK_INTS), dtype=np.uint32)
+        padded[:, :n] = data
+        key = ("batch_enc", C, nb)
+        fn = self._encode_fns.get(key)
+        if fn is None:
+            fn = jax.jit(_encode_ops.encode_batch, static_argnums=(1,))
+            self._encode_fns[key] = fn
+        words, totals = fn(jax.device_put(padded), nv)
+        return np.asarray(words), np.asarray(totals)
+
+    def decompress_batch(
+        self,
+        words: np.ndarray,
+        totals: np.ndarray,
+        out_ints: int | None = None,
+    ) -> np.ndarray:
+        """Inverse of compress_batch: (words (C, M), totals (C,)) ->
+        bitmaps (C, out_ints)."""
+        words = np.ascontiguousarray(words, dtype=np.uint32)
+        totals = np.asarray(totals)
+        C, M = words.shape
+        if M == 0:
+            return np.zeros((C, 0), np.uint32)
+        is_fill = (words & np.uint32(BIT31)) != 0
+        counts = np.where(is_fill, words & np.uint32(LEN_MASK), 1)
+        counts[np.arange(M)[None, :] >= totals[:, None]] = 0
+        n_chunks = int(counts.sum(axis=1).max())
+        cap = _next_pow2(max(1, -(-n_chunks // BLOCK_CHUNKS))) * BLOCK_CHUNKS
+        key = ("batch_dec", C, M, cap)
+        fn = self._decode_fns.get(key)
+        if fn is None:
+            fn = jax.jit(partial(_decode_ops.decode_batch, chunk_capacity=cap))
+            self._decode_fns[key] = fn
+        ints, n_ints = fn(jax.device_put(words), totals.astype(np.int32))
+        out = np.asarray(ints)
+        if out_ints is not None:
+            out = out[:, :out_ints]
+        return out
+
     # -- public API --------------------------------------------------------
     def compress(
         self, data: np.ndarray

@@ -28,7 +28,13 @@ from ..constants import BIT31, BIT3130, LEN_MASK, ONES31
 from . import bits
 from .compact import ceil_log2, expand
 
-__all__ = ["word_counts", "decode_span", "decode_chunks", "decode"]
+__all__ = [
+    "word_counts",
+    "decode_span",
+    "decode_chunks",
+    "decode",
+    "decode_batch",
+]
 
 _U = jnp.uint32
 _I = jnp.int32
@@ -160,3 +166,15 @@ def decode(
     ints = bits.merge_chunks(chunks)
     n_ints = (31 * n_chunks + 31) // 32
     return ints, n_ints
+
+
+def decode_batch(
+    words: jnp.ndarray, ms: jnp.ndarray, chunk_capacity: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decompress a batch of streams (bitmap-index columns).
+
+    words: (C, M) uint32, row c holding stream c as a prefix of ms[c]
+    words. Returns (ints (C, chunk_capacity//32*31), n_ints (C,)).
+    """
+    f = jax.vmap(lambda w, m: decode(w, m, chunk_capacity))
+    return f(words.astype(_U), ms.astype(_I))

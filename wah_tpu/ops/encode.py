@@ -33,7 +33,7 @@ from . import bits
 from .compact import ceil_log2, compact, shift_left, shift_right
 from ..golden import chunk_count
 
-__all__ = ["classify", "encode_blocks", "stitch", "encode"]
+__all__ = ["classify", "encode_blocks", "stitch", "encode", "encode_batch"]
 
 _U = jnp.uint32
 _I = jnp.int32
@@ -138,6 +138,23 @@ def encode_padded(
     chunks = bits.repartition_chunks(ints.astype(_U)).reshape(nb, BLOCK_CHUNKS)
     staging, counts = encode_blocks(chunks, n_valid_chunks)
     return stitch(staging, counts)
+
+
+def encode_batch(
+    ints: jnp.ndarray, n_valid_chunks
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compress a batch of equal-length bitmap columns (the bitmap-index
+    workload: one bitmap per indexed value).
+
+    ints: (C, nb*992) uint32, each row a block-aligned column;
+    n_valid_chunks applies to every column. Returns
+    (words (C, nb*1024), totals (C,)). Columns are fully independent —
+    the reference has no batched mode (one compress() call per column,
+    compress.h:12); here the column axis is just a vmapped leading dim.
+    """
+    f = jax.vmap(lambda x: encode_padded(x, n_valid_chunks))
+    words, totals = f(ints.astype(_U))
+    return words, totals
 
 
 def encode(ints: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

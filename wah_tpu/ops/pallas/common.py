@@ -30,24 +30,26 @@ def lane_iota(shape, dtype=jnp.int32):
     return jax.lax.broadcasted_iota(dtype, shape, len(shape) - 1)
 
 
-def shift_right(x, k: int, fill):
+def shift_right(x, k: int, fill, col=None):
     """y[..., i] = x[..., i-k]; first k lanes become `fill` (static k).
 
     Boolean inputs round-trip through int32: Mosaic's lane rotate and
     vector selects only support 32-bit elements, so masks are shifted as
     0/1 ints and turned back into predicates with a compare.
+    `col` lets callers pass a precomputed lane iota.
     """
     if k == 0:
         return x
     as_bool = x.dtype == jnp.bool_
     if as_bool:
         x, fill = x.astype(jnp.int32), jnp.int32(bool(fill))
-    col = lane_iota(x.shape)
+    if col is None:
+        col = lane_iota(x.shape)
     y = jnp.where(col >= k, pltpu.roll(x, shift=k, axis=x.ndim - 1), fill)
     return y != 0 if as_bool else y
 
 
-def shift_left(x, k: int, fill):
+def shift_left(x, k: int, fill, col=None):
     """y[..., i] = x[..., i+k]; last k lanes become `fill` (static k)."""
     if k == 0:
         return x
@@ -55,24 +57,25 @@ def shift_left(x, k: int, fill):
     if as_bool:
         x, fill = x.astype(jnp.int32), jnp.int32(bool(fill))
     n = x.shape[-1]
-    col = lane_iota(x.shape)
+    if col is None:
+        col = lane_iota(x.shape)
     y = jnp.where(
         col < n - k, pltpu.roll(x, shift=n - k, axis=x.ndim - 1), fill
     )
     return y != 0 if as_bool else y
 
 
-def cumsum_lanes(x, nbits: int):
+def cumsum_lanes(x, nbits: int, col=None):
     """Inclusive prefix sum along lanes (Hillis-Steele, nbits steps)."""
     for b in range(nbits):
-        x = x + shift_right(x, 1 << b, jnp.zeros((), x.dtype))
+        x = x + shift_right(x, 1 << b, jnp.zeros((), x.dtype), col)
     return x
 
 
-def cummax_lanes(x, nbits: int, neutral):
+def cummax_lanes(x, nbits: int, neutral, col=None):
     """Inclusive prefix max along lanes."""
     for b in range(nbits):
-        x = jnp.maximum(x, shift_right(x, 1 << b, neutral))
+        x = jnp.maximum(x, shift_right(x, 1 << b, neutral, col))
     return x
 
 

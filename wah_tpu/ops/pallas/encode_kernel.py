@@ -48,7 +48,11 @@ __all__ = ["encode_tiles", "stitch_tiles", "encode_padded"]
 _U = jnp.uint32
 _I = jnp.int32
 
-TILE_BLOCKS = 8  # blocks (rows) per grid step: fills the 8 VPU sublanes
+# blocks (rows) per grid step: >= 8 fills the VPU sublanes; larger tiles
+# amortize per-step overhead (env override for tuning experiments)
+import os as _os
+
+TILE_BLOCKS = int(_os.environ.get("WAH_TILE_BLOCKS", "8"))
 L = BLOCK_CHUNKS  # 1024 words per block row
 W = 2 * L  # pending-window lanes
 
@@ -57,24 +61,54 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _repart_masks():
+    """Static push schedule for the 992->1024 repartition expansion:
+    source j moves right by d(j) = j//31, bits processed MSB->LSB; the
+    destination-lane mask of each step is a compile-time constant
+    (passed to the kernel as a (5, 1024) int32 input — Pallas does not
+    allow captured array constants)."""
+    import numpy as _np
+
+    j = _np.arange(BLOCK_INTS)
+    d = j // 31
+    cur = j.copy()
+    masks = _np.zeros((5, L), dtype=_np.int32)
+    for k in reversed(range(5)):
+        moving = (d >> k) & 1
+        masks[k, cur[moving == 1] + (1 << k)] = 1
+        cur = cur + (moving << k)
+    return masks
+
+
+_REPART_MASKS = _repart_masks()
+
+
 # ---------------------------------------------------------------------------
 # block encoder
 # ---------------------------------------------------------------------------
 
-def _encode_body(nv_ref, ints_ref, staging_ref, counts_ref):
+def _encode_body(nv_ref, masks_ref, ints_ref, staging_ref, counts_ref):
     B, _ = staging_ref.shape
     pid = pl.program_id(0)
     col = lane_iota((B, L))
     zero_u = jnp.zeros((B, L), _U)
 
     # --- 32->31-bit repartition (reference: kernels.cu:72-79) ---------
-    # source int j lands at lane j + j//31; lanes with col%32 == 31 stay 0
-    ints_pad = jnp.concatenate(
+    # source int j lands at lane j + j//31 (a[c] = ints[c - c//32] for
+    # c%32 < 31). The routing is static, so the whole push schedule —
+    # which lanes receive an element at each log-shift step — is
+    # precomputed as constant masks: 5 rolls + 5 constant selects,
+    # no per-element displacement bookkeeping.
+    a = jnp.concatenate(
         [ints_ref[:].astype(_U), jnp.zeros((B, L - BLOCK_INTS), _U)], axis=1
     )
-    live = col < BLOCK_INTS
-    (a,), ok_a = expand_lanes([ints_pad], live, col // 31, 5)
-    a = jnp.where(ok_a, a, zero_u)
+    for k in reversed(range(5)):
+        a = jnp.where(
+            masks_ref[k : k + 1, :] != 0,
+            pltpu.roll(a, shift=1 << k, axis=1),
+            a,
+        )
+    a = jnp.where(col % 32 == 31, zero_u, a)
     xl = (col % 32).astype(_U)
     b_ = shift_right(a, 1, jnp.zeros((), _U))
     b_ = jnp.where(xl == _U(0), zero_u, b_)
@@ -93,16 +127,16 @@ def _encode_body(nv_ref, ints_ref, staging_ref, counts_ref):
     # --- run starts/ends + word slots (reference: kernels.cu:126-174,
     # 184-235 — the warp metadata + cross-warp merge machinery collapses
     # into two block-wide scans) --------------------------------------
-    prev_t = shift_right(t, 1, _I(-1))
+    prev_t = shift_right(t, 1, _I(-1), col)
     start = v & ((t != prev_t) | (t == _I(2)))
-    incl = cumsum_lanes(start.astype(_I), 10)
+    incl = cumsum_lanes(start.astype(_I), 10, col)
     widx = incl - 1
     counts_ref[:] = incl[:, L - 1 : L]
 
-    nv_next = shift_left(v, 1, False)
-    end = v & (shift_left(start, 1, True) | ~nv_next)
+    nv_next = shift_left(v, 1, False, col)
+    end = v & (shift_left(start, 1, True, col) | ~nv_next)
 
-    run_start = cummax_lanes(jnp.where(start, col, _I(-1)), 10, _I(-1))
+    run_start = cummax_lanes(jnp.where(start, col, _I(-1)), 10, _I(-1), col)
     run_len = (col - run_start + 1).astype(_U)
 
     # --- emit words (reference: kernels.cu:237-259) -------------------
@@ -113,8 +147,18 @@ def _encode_body(nv_ref, ints_ref, staging_ref, counts_ref):
     )
 
     # --- in-VMEM compaction to a dense prefix (replaces moveData) -----
-    (vals,), okf = compact_lanes([value], end, col - widx, 10)
-    staging_ref[:] = jnp.where(okf, vals, zero_u)
+    # Monotone left-routing without live-mask bookkeeping: dead lanes
+    # get d = 0 (stationary) and are either overwritten by an arriving
+    # word (every lane < count receives exactly its word — monotone
+    # routing admits no overtaking) or masked out by the count below.
+    d = jnp.where(end, col - widx, _I(0))
+    vals = value
+    for k in range(10):
+        kk = 1 << k
+        src = shift_left(d & kk, kk, _I(0), col) != 0
+        vals = jnp.where(src, shift_left(vals, kk, jnp.zeros((), _U), col), vals)
+        d = jnp.where(src, shift_left(d, kk, _I(0), col), d)
+    staging_ref[:] = jnp.where(col < incl[:, L - 1 : L], vals, zero_u)
 
 
 def encode_tiles(
@@ -129,6 +173,8 @@ def encode_tiles(
         num_scalar_prefetch=1,
         grid=(nb // B,),
         in_specs=[
+            pl.BlockSpec((5, L), lambda i, nv: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (B, BLOCK_INTS), lambda i, nv: (i, 0),
                 memory_space=pltpu.VMEM,
@@ -152,7 +198,11 @@ def encode_tiles(
             dimension_semantics=("parallel",),
         ),
         interpret=_interpret(),
-    )(nv.astype(_I).reshape(1), ints2d.astype(_U))
+    )(
+        nv.astype(_I).reshape(1),
+        jnp.asarray(_REPART_MASKS),
+        ints2d.astype(_U),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -168,15 +218,20 @@ def _rotate_right_rows(x, s, nbits: int):
 
 
 def _stitch_body(
-    offs_ref, staging_ref, offcol_ref, out_ref, pend, fb, state, sems
+    ft_ref, meta_ref, staging_ref, offcol_ref, out_ref, pend, fb, sems
 ):
     """Streaming accumulator (see module docstring).
 
-    offs_ref: SMEM-prefetched exclusive offsets, length nb+1 (last = total).
-    staging_ref: (8, 1024) VMEM block rows. offcol_ref: (8, 1) VMEM copy of
-    this tile's offsets (vector form for the rotation masks).
-    pend: (1, 2048) pending window; fb: (2, 8, 128) flush double-buffer;
-    state: (1,) SMEM = tiles flushed; sems: 2 DMA semaphores.
+    The flush schedule is fully precomputed on the XLA side and
+    scalar-prefetched: ft_ref[b] = tile_index+1 if block b completes an
+    output tile else 0 (a block can complete at most one tile since
+    counts <= 1024); meta_ref = [total_words, total_flushes]. The flush
+    index IS the completed tile index (tiles flush in order), so no
+    kernel-side state is needed.
+
+    staging_ref: (8, 1024) VMEM block rows; offcol_ref: (8, 1) offsets
+    (vector form for the rotation masks); pend: (1, 2048) pending
+    window; fb: (2, 1, 1024) flush double-buffer; sems: 2 DMA sems.
     """
     pid = pl.program_id(0)
     B = TILE_BLOCKS
@@ -184,11 +239,10 @@ def _stitch_body(
 
     @pl.when(pid == 0)
     def _():
-        state[0] = 0
         pend[...] = jnp.zeros((1, W), _U)
 
     # rotate every block row to its global stream phase (offset mod 1024)
-    s = offcol_ref[:] % L  # (8, 1)
+    s = offcol_ref[:] % L  # (B, 1)
     contrib = jnp.concatenate(
         [staging_ref[:], jnp.zeros((B, L), _U)], axis=1
     )
@@ -202,7 +256,8 @@ def _stitch_body(
 
     def flush_start(f):
         slot = f % 2
-        fb[pl.ds(slot, 1)] = pend[...][:, :L].reshape(1, 8, 128)
+        # (1, 1024) lane-for-lane copy — no sublane relayout
+        fb[pl.ds(slot, 1)] = pend[...][:, :L][None]
         pltpu.make_async_copy(
             fb.at[slot], out_ref.at[f], sems.at[slot]
         ).start()
@@ -211,11 +266,12 @@ def _stitch_body(
     for r in range(B):
         b = pid * B + r
         pend[...] = pend[...] | contrib[r : r + 1, :]
-        f = state[0]
-        # flush when this block's words crossed the tile boundary
-        # (invariant: f == offs[b] // 1024 since counts <= 1024)
-        @pl.when(offs_ref[b + 1] - f * L >= L)
+        ft = ft_ref[b]
+
+        @pl.when(ft > 0)
         def _():
+            f = ft - 1
+
             @pl.when(f >= 2)
             def _():
                 flush_wait(f - 2)
@@ -224,24 +280,21 @@ def _stitch_body(
             pend[...] = jnp.where(
                 col < L, pltpu.roll(pend[...], shift=L, axis=1), _U(0)
             )
-            state[0] = f + 1
 
     @pl.when(pid == nsteps - 1)
     def _():
-        total = offs_ref[nsteps * B]
-        f = state[0]
+        total = meta_ref[0]
+        fz = meta_ref[1]
+        f_full = total // L
 
         # final partial tile (pend zeros beyond the remainder -> clean tail)
-        @pl.when(total - f * L > 0)
+        @pl.when(total - f_full * L > 0)
         def _():
-            @pl.when(f >= 2)
+            @pl.when(f_full >= 2)
             def _():
-                flush_wait(f - 2)
+                flush_wait(f_full - 2)
 
-            flush_start(f)
-            state[0] = f + 1
-
-        fz = state[0]
+            flush_start(f_full)
 
         @pl.when(fz >= 2)
         def _():
@@ -261,35 +314,41 @@ def stitch_tiles(staging: jnp.ndarray, offsets_ext: jnp.ndarray) -> jnp.ndarray:
     assert nb % B == 0, nb
     assert offsets_ext.shape == (nb + 1,), offsets_ext.shape
     T = nb + 2  # output tiles: <= nb used + 1 partial + slack
+    offsets_ext = offsets_ext.astype(_I)
+    tiles = offsets_ext // L
+    # block b completes tile tiles[b] iff the offset crosses a tile edge
+    ft = jnp.where(tiles[1:] > tiles[:-1], tiles[:-1] + 1, 0)
+    total = offsets_ext[-1]
+    meta = jnp.stack([total, (total + L - 1) // L])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb // B,),
         in_specs=[
-            pl.BlockSpec((B, L), lambda i, off: (i, 0),
+            pl.BlockSpec((B, L), lambda i, ft, mt: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i, off: (i, 0),
+            pl.BlockSpec((B, 1), lambda i, ft, mt: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[
             pltpu.VMEM((1, W), _U),
-            pltpu.VMEM((2, 8, 128), _U),
-            pltpu.SMEM((1,), _I),
+            pltpu.VMEM((2, 1, L), _U),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         _stitch_body,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((T, 8, 128), _U)],
+        out_shape=[jax.ShapeDtypeStruct((T, 1, L), _U)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
     )(
-        offsets_ext.astype(_I),
+        ft,
+        meta,
         staging,
-        offsets_ext[:nb].reshape(nb, 1).astype(_I),
+        offsets_ext[:nb].reshape(nb, 1),
     )[0]
     return out.reshape(-1)[: nb * L]
 
