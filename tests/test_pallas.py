@@ -56,6 +56,22 @@ def test_pallas_encode_matches_golden(name, gen):
 
 
 @pytest.mark.parametrize("name,gen", CASES, ids=[c[0] for c in CASES])
+def test_pallas_fused_encode_matches_golden(name, gen):
+    data = gen()
+    n = len(data)
+    nv = chunk_count(n)
+    nb = -(-nv // BLOCK_CHUNKS)
+    padded = np.zeros(nb * BLOCK_INTS, dtype=np.uint32)
+    padded[:n] = data
+    words, total = jax.jit(encode_kernel.encode_padded_fused)(
+        padded, np.int32(nv)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(words)[: int(total)], golden.encode(data)
+    )
+
+
+@pytest.mark.parametrize("name,gen", CASES, ids=[c[0] for c in CASES])
 def test_pallas_decode_roundtrip(name, gen):
     data = gen()
     stream = golden.encode(data)

@@ -49,10 +49,15 @@ _U = jnp.uint32
 _I = jnp.int32
 
 # blocks (rows) per grid step: >= 8 fills the VPU sublanes; larger tiles
-# amortize per-step overhead (env override for tuning experiments)
+# amortize per-step overhead. Measured on v5e (130 MB, density 2^-4):
+# 8 -> 8.7 GB/s, 16 -> 12.5, 32 -> 13.6, 128 -> 15.1, 256 -> 16.0
+# (512 exceeds VMEM). Interpreter mode (CPU tests) keeps small tiles —
+# tiny inputs are padded to a whole tile. Env override for tuning.
 import os as _os
 
-TILE_BLOCKS = int(_os.environ.get("WAH_TILE_BLOCKS", "8"))
+TILE_BLOCKS = int(
+    _os.environ.get("WAH_TILE_BLOCKS", "0")
+) or (8 if jax.default_backend() == "cpu" else 256)
 L = BLOCK_CHUNKS  # 1024 words per block row
 W = 2 * L  # pending-window lanes
 
@@ -351,6 +356,224 @@ def stitch_tiles(staging: jnp.ndarray, offsets_ext: jnp.ndarray) -> jnp.ndarray:
         offsets_ext[:nb].reshape(nb, 1),
     )[0]
     return out.reshape(-1)[: nb * L]
+
+
+# ---------------------------------------------------------------------------
+# fully fused encode+stitch (single sequential kernel)
+# ---------------------------------------------------------------------------
+
+def _sublane_excl_cumsum(x, rows: int):
+    """Exclusive prefix sum along axis 0 of (rows, 1) via log shifts."""
+    ri = jax.lax.broadcasted_iota(_I, x.shape, 0)
+    incl = x
+    k = 1
+    while k < rows:
+        sh = jnp.where(ri >= k, pltpu.roll(incl, shift=k, axis=0), _I(0))
+        incl = incl + sh
+        k <<= 1
+    return incl - x, incl
+
+
+def _fused_body(
+    nv_ref, masks_ref, ints_ref, out_ref, counts_ref,
+    pend, fb, endlvl, state, sems
+):
+    """One pass: encode B blocks in VMEM and stream their words straight
+    into the dense output (same accumulator as _stitch_body, but the
+    word offsets come from a running SMEM total instead of a prescan —
+    the sequential grid IS the scan). state: (1,) absolute word count."""
+    pid = pl.program_id(0)
+    B = TILE_BLOCKS
+    nsteps = pl.num_programs(0)
+    col = lane_iota((B, L))
+    zero_u = jnp.zeros((B, L), _U)
+
+    @pl.when(pid == 0)
+    def _():
+        state[0] = 0
+        pend[...] = jnp.zeros((1, W), _U)
+
+    # --- block encode (same pipeline as _encode_body) -----------------
+    a = jnp.concatenate(
+        [ints_ref[:].astype(_U), jnp.zeros((B, L - BLOCK_INTS), _U)], axis=1
+    )
+    for k in reversed(range(5)):
+        a = jnp.where(
+            masks_ref[k : k + 1, :] != 0,
+            pltpu.roll(a, shift=1 << k, axis=1),
+            a,
+        )
+    a = jnp.where(col % 32 == 31, zero_u, a)
+    xl = (col % 32).astype(_U)
+    b_ = shift_right(a, 1, jnp.zeros((), _U), col)
+    b_ = jnp.where(xl == _U(0), zero_u, b_)
+    chunk = (((b_ >> (_U(31) - xl)) >> _U(1)) | (a << xl)) & _U(ONES31)
+
+    t = jnp.where(
+        chunk == _U(0), _I(0), jnp.where(chunk == _U(ONES31), _I(1), _I(2))
+    )
+    row = jax.lax.broadcasted_iota(_I, (B, L), 0)
+    gpos = (pid * B + row) * L + col
+    v = gpos < nv_ref[0]
+
+    prev_t = shift_right(t, 1, _I(-1), col)
+    start = v & ((t != prev_t) | (t == _I(2)))
+    incl = cumsum_lanes(start.astype(_I), 10, col)
+    widx = incl - 1
+    cnt_col = incl[:, L - 1 : L]  # (B, 1)
+    counts_ref[:] = cnt_col
+
+    nv_next = shift_left(v, 1, False, col)
+    end = v & (shift_left(start, 1, True, col) | ~nv_next)
+    run_start = cummax_lanes(jnp.where(start, col, _I(-1)), 10, _I(-1), col)
+    run_len = (col - run_start + 1).astype(_U)
+    value = jnp.where(
+        t == _I(2),
+        chunk,
+        jnp.where(t == _I(1), _U(BIT3130) | run_len, _U(BIT31) | run_len),
+    )
+    d = jnp.where(end, col - widx, _I(0))
+    vals = value
+    for k in range(10):
+        kk = 1 << k
+        src = shift_left(d & kk, kk, _I(0), col) != 0
+        vals = jnp.where(src, shift_left(vals, kk, jnp.zeros((), _U), col), vals)
+        d = jnp.where(src, shift_left(d, kk, _I(0), col), d)
+    staged = jnp.where(col < cnt_col, vals, zero_u)
+
+    # --- stream phase ------------------------------------------------
+    lvl0 = state[0]
+    excl, incl_rows = _sublane_excl_cumsum(cnt_col, B)
+    s_vec = (lvl0 + excl) % L
+    endlvl[...] = lvl0 + incl_rows  # absolute level after each row
+    contrib = jnp.concatenate([staged, jnp.zeros((B, L), _U)], axis=1)
+    contrib = _rotate_right_rows(contrib, s_vec, 10)
+
+    def flush_wait(f):
+        pltpu.make_async_copy(
+            fb.at[f % 2], out_ref.at[f], sems.at[f % 2]
+        ).wait()
+
+    def flush_start(f):
+        slot = f % 2
+        fb[pl.ds(slot, 1)] = pend[...][:, :L][None]
+        pltpu.make_async_copy(
+            fb.at[slot], out_ref.at[f], sems.at[slot]
+        ).start()
+
+    colw = lane_iota((1, W))
+    prior = lvl0
+    for r in range(B):
+        pend[...] = pend[...] | contrib[r : r + 1, :]
+        e = endlvl[r, 0]  # scalar read of VMEM scratch
+
+        @pl.when(e // L > prior // L)
+        def _():
+            f = prior // L
+
+            @pl.when(f >= 2)
+            def _():
+                flush_wait(f - 2)
+
+            flush_start(f)
+            pend[...] = jnp.where(
+                colw < L, pltpu.roll(pend[...], shift=L, axis=1), _U(0)
+            )
+
+        prior = e
+    state[0] = prior
+
+    @pl.when(pid == nsteps - 1)
+    def _():
+        total = state[0]
+        f_full = total // L
+
+        @pl.when(total - f_full * L > 0)
+        def _():
+            @pl.when(f_full >= 2)
+            def _():
+                flush_wait(f_full - 2)
+
+            flush_start(f_full)
+
+        fz = (total + L - 1) // L
+
+        @pl.when(fz >= 2)
+        def _():
+            flush_wait(fz - 2)
+
+        @pl.when(fz >= 1)
+        def _():
+            flush_wait(fz - 1)
+
+
+def encode_fused(
+    ints2d: jnp.ndarray, nv: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(nb, 992) + (1,) -> (words (nb*1024,), counts (nb, 1)).
+
+    Single-kernel encode+stitch; words beyond the total are zero."""
+    nb = ints2d.shape[0]
+    B = TILE_BLOCKS
+    assert ints2d.shape == (nb, BLOCK_INTS) and nb % B == 0
+    T = nb + 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb // B,),
+        in_specs=[
+            pl.BlockSpec((5, L), lambda i, nv: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BLOCK_INTS), lambda i, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((B, 1), lambda i, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, W), _U),
+            pltpu.VMEM((2, 1, L), _U),
+            pltpu.VMEM((B, 1), _I),
+            pltpu.SMEM((1,), _I),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, counts = pl.pallas_call(
+        _fused_body,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 1, L), _U),
+            jax.ShapeDtypeStruct((nb, 1), _I),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(
+        nv.astype(_I).reshape(1),
+        jnp.asarray(_REPART_MASKS),
+        ints2d.astype(_U),
+    )
+    return out.reshape(-1)[: nb * L], counts
+
+
+def encode_padded_fused(
+    ints: jnp.ndarray, n_valid_chunks
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """encode_padded via the single fused kernel."""
+    assert ints.shape[0] % BLOCK_INTS == 0, ints.shape
+    nb = ints.shape[0] // BLOCK_INTS
+    nbp = -(-nb // TILE_BLOCKS) * TILE_BLOCKS
+    ints2d = ints.reshape(nb, BLOCK_INTS)
+    if nbp != nb:
+        ints2d = jnp.concatenate(
+            [ints2d, jnp.zeros((nbp - nb, BLOCK_INTS), _U)], axis=0
+        )
+    nv = jnp.asarray(n_valid_chunks, dtype=_I).reshape(1)
+    words, counts = encode_fused(ints2d, nv)
+    total = jnp.sum(counts[:, 0], dtype=_I)
+    return words[: nb * L], total
 
 
 def encode_padded(
