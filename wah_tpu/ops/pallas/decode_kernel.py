@@ -1,26 +1,26 @@
 """Fused Pallas TPU decode kernel.
 
-One grid step expands a tile of 8 output blocks (8 x 1024 chunks)
-entirely in VMEM. This inverts the reference decode pipeline
-(decompressWords + mergeWords, kernels.cu:321-385) the TPU way: instead
-of per-thread serial fill loops (load-imbalanced for long fills,
-kernels.cu:346-348), each output block gathers its covering word window,
-routes each word to its in-block start with a monotone lane expansion,
-and forward-fills covering runs with a cummax scan. Work per output
-chunk is O(log) lane ops regardless of fill lengths — perfectly
-balanced.
+One grid step expands a tile of output blocks (B x 1024 chunks) entirely
+in VMEM and emits bitmap words directly (the 31->32-bit merge is fused —
+chunks never round-trip through HBM). This inverts the reference decode
+pipeline (decompressWords + mergeWords, kernels.cu:321-385) the TPU way:
+instead of per-thread serial fill loops (load-imbalanced for long fills,
+kernels.cu:346-348), each output block gathers a word window, routes
+each covering word to its in-block start with a monotone lane expansion,
+and forward-fills runs with a cummax scan — O(log) lane ops per output
+chunk regardless of fill lengths.
 
-Window mechanics: every compressed word expands to >= 1 chunk, so <=
-1024 words cover a 1024-chunk block; the covering window [lo, lo+1024)
-starts at an arbitrary word index, but Mosaic DMA slices must be
-tile-aligned — so each row DMAs the TWO aligned 1024-word tiles
-containing its window ((lo//1024)*1024 .. +2048, one dynamic
-leading-index copy from a (T, 8, 128) view) and rotates the window into
-phase in VMEM with a vectorized log-shift rotation (lo mod 1024).
-
-The word offsets (exclusive scan of expanded counts, reference
-decompress.cu:66-93) and the per-block window starts (searchsorted) are
-tiny XLA precomputations prefetched as scalars.
+Window mechanics (self-locating): the host prescan is only *row*-
+granular — an exclusive scan over per-1024-word-row expanded sizes and
+one small searchsorted mapping each output block to the word row
+containing its covering window (tables of M/1024 entries; the reference
+scans every word, decompress.cu:66-93, and an element-granular scan +
+searchsorted on TPU costs more than the whole kernel). Each kernel row
+DMAs the TWO aligned 1024-word tiles starting at its row, reconstructs
+word offsets locally (in-window count scan + the row's base offset),
+finds its first covering word with a row-min, rotates the window into
+phase, and expands. Mosaic DMA slices must be tile-aligned, which is
+why windows are whole tiles from a (T, 8, 128) view.
 """
 from __future__ import annotations
 
@@ -29,25 +29,58 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...constants import BIT31, BIT3130, BLOCK_CHUNKS, LEN_MASK, ONES31
-from .. import bits
-from ..decode import word_counts
-from .common import cummax_lanes, expand_lanes, lane_iota
+from ...constants import (
+    BIT31,
+    BIT3130,
+    BLOCK_CHUNKS,
+    BLOCK_INTS,
+    LEN_MASK,
+    ONES31,
+)
+from .common import cummax_lanes, cumsum_lanes, lane_iota, shift_right
 
-__all__ = ["decode_blocks", "decode"]
+__all__ = ["decode"]
 
 _U = jnp.uint32
 _I = jnp.int32
 
-TILE_BLOCKS = 8
+# output blocks per grid step (see encode_kernel: large tiles amortize
+# per-step overhead; interpreter mode keeps small tiles for test speed)
+import os as _os
+
+TILE_BLOCKS = int(
+    _os.environ.get("WAH_DECODE_TILE_BLOCKS", "0")
+) or (8 if jax.default_backend() == "cpu" else 128)
 L = BLOCK_CHUNKS
 W = 2 * L
-_FAR = 1 << 30  # offset sentinel for out-of-stream window slots
-_T_ZERO, _T_ONES, _T_LIT = 1, 2, 3  # cummax key type codes (low 2 bits)
+_T_ONES = 2  # cummax key type code for the all-ones filler
 
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _merge_masks():
+    """Static pull-out schedule for the 1024->992 merge compaction:
+    valid lanes (col % 32 != 31) move LEFT by col//32, bits LSB->MSB;
+    the destination-lane mask of each step is a compile-time constant
+    (mirror of encode's repartition push schedule)."""
+    import numpy as _np
+
+    j = _np.arange(L)
+    valid = (j % 32) != 31
+    d = j // 32
+    cur = j.copy()
+    masks = _np.zeros((5, L), dtype=_np.int32)
+    for k in range(5):
+        moving = ((d >> k) & 1) == 1
+        mv = moving & valid
+        masks[k, cur[mv] - (1 << k)] = 1
+        cur = cur - (mv << k)
+    return masks
+
+
+_MERGE_MASKS = _merge_masks()
 
 
 def _rotate_left_rows(x, s, nbits: int):
@@ -61,156 +94,192 @@ def _rotate_left_rows(x, s, nbits: int):
 
 
 def _decode_body(
-    lo_ref, nc_ref, words_ref, offs_ref, locol_ref, chunks_ref,
-    wscr, oscr, sems
+    r_ref, meta_ref, words_ref, mmasks_ref, rcol_ref, coff_ref,
+    ints_ref, wscr, sems
 ):
     pid = pl.program_id(0)
-    B, _ = chunks_ref.shape
+    B = ints_ref.shape[0]
 
-    def dmas(r):
-        t0 = lo_ref[pid * B + r] // L
-        return (
-            pltpu.make_async_copy(
-                words_ref.at[pl.ds(t0, 2)], wscr.at[pl.ds(2 * r, 2)],
-                sems.at[0, r],
-            ),
-            pltpu.make_async_copy(
-                offs_ref.at[pl.ds(t0, 2)], oscr.at[pl.ds(2 * r, 2)],
-                sems.at[1, r],
-            ),
+    def dma(r):
+        t0 = r_ref[pid * B + r]
+        return pltpu.make_async_copy(
+            words_ref.at[pl.ds(t0, 2)], wscr.at[pl.ds(2 * r, 2)],
+            sems.at[r],
         )
 
     for r in range(B):
-        w, o = dmas(r)
-        w.start()
-        o.start()
+        dma(r).start()
     for r in range(B):
-        w, o = dmas(r)
-        w.wait()
-        o.wait()
+        dma(r).wait()
 
-    # rotate each row's 2-tile window so lane 0 == word lo (lo mod 1024)
-    s = locol_ref[:] % L  # (B, 1)
-    win_w = _rotate_left_rows(wscr[...].reshape(B, W), s, 11)[:, :L]
-    win_off = _rotate_left_rows(oscr[...].reshape(B, W), s, 11)[:, :L]
+    win = wscr[...].reshape(B, W)
+    colw = lane_iota((B, W))
+    roww = jax.lax.broadcasted_iota(_I, (B, W), 0)
+    base_w = (pid * B + roww) * L
+    m = meta_ref[1]
+    idx = rcol_ref[:] * L + colw  # global word index per window lane
 
+    # in-window offset reconstruction (reference getCounts + scan,
+    # kernels.cu:291-309 / decompress.cu:66-93, done per window)
+    is_fill_w = (win & _U(BIT31)) != 0
+    cnt = jnp.where(is_fill_w, (win & _U(LEN_MASK)).astype(_I), _I(1))
+    cnt = jnp.where(idx < m, cnt, _I(0))
+    off = coff_ref[:] + cumsum_lanes(cnt, 11, colw) - cnt
+
+    rel = off - base_w
+    ok = (rel < L) & (rel + cnt > 0) & (idx < m)
+    tgt = jnp.clip(rel, 0, L)
+
+    # rotate the window so lane 0 == the first covering word (the live
+    # set is contiguous, so alignment is a pure rotation — no routing)
+    lo_local = jnp.min(jnp.where(ok, colw, _I(W)), axis=1, keepdims=True)
+    tok = jnp.where(ok, tgt * 2 + 1, _I(0))  # target | live bit
+    win = _rotate_left_rows(win, lo_local, 11)
+    tok = _rotate_left_rows(tok, lo_local, 11)
+
+    win1 = win[:, :L]
+    tok1 = tok[:, :L]
     col = lane_iota((B, L))
     row = jax.lax.broadcasted_iota(_I, (B, L), 0)
     base = (pid * B + row) * L
-
-    is_fill = (win_w & _U(BIT31)) != 0
-    is_ones = (win_w & _U(BIT3130)) == _U(BIT3130)
-    cnt = jnp.where(is_fill, (win_w & _U(LEN_MASK)).astype(_I), _I(1))
-
-    rel = win_off - base  # sentinel slots are far positive, never live
-    ok = (rel < L) & (rel + cnt > 0)
-    off_local = jnp.clip(rel, 0, L)
-
-    val0 = jnp.where(is_fill, jnp.where(is_ones, _U(ONES31), _U(0)), win_w)
-    t = jnp.where(
-        is_fill,
-        jnp.where(is_ones, _I(_T_ONES), _I(_T_ZERO)),
-        _I(_T_LIT),
-    )
-    key = (off_local << 2) | t
-
-    d = off_local - col
-    (val_d, key_d), ok_d = expand_lanes([val0, key], ok, d, 10)
     zero_u = jnp.zeros((B, L), _U)
-    val_d = jnp.where(ok_d, val_d, zero_u)
-    key_d = jnp.where(ok_d, key_d, _I(0))
+    zi = jnp.zeros((), _I)
 
-    cm = cummax_lanes(key_d, 10, _I(0))
+    is_fill = (win1 & _U(BIT31)) != 0
+    is_ones = (win1 & _U(BIT3130)) == _U(BIT3130)
+    val_d = jnp.where(
+        (tok1 & 1) != 0,
+        jnp.where(is_fill, jnp.where(is_ones, _U(ONES31), _U(0)), win1),
+        zero_u,
+    )
+
+    # --- lean monotone expansion: route (value, target|live) ----------
+    # dok = 2*(target - lane) + live; moved/cleared lanes only feed
+    # selects through the edge-masked source mask, so the value shifts
+    # are raw rotations. Arrivals land exactly at their target, so the
+    # cummax key is reconstructed afterwards from (lane, payload).
+    dok = jnp.where((tok1 & 1) != 0, tok1 - 2 * col, zi)
+    for b in reversed(range(10)):
+        k = 1 << b
+        gated = jnp.where((dok & 1) != 0, dok & (2 * k), zi)
+        srcm = shift_right(gated, k, zi, col)
+        src = srcm != 0
+        val_d = jnp.where(src, pltpu.roll(val_d, shift=k, axis=1), val_d)
+        dok = jnp.where(src, pltpu.roll(dok - 2 * k, shift=k, axis=1),
+                        jnp.where(gated != 0, zi, dok))
+    ok_d = (dok & 1) != 0
+    val_d = jnp.where(ok_d, val_d, zero_u)
+
+    # key reconstruction: the offset at an arrival lane IS the lane
+    # index; only the all-ones filler forward-fills ONES (an expanded
+    # ONES31 can only be a one-fill payload — literal chunks 0/ONES31
+    # never occur in a valid stream).
+    t_d = jnp.where(val_d == _U(ONES31), _I(_T_ONES), _I(1))
+    key_d = jnp.where(ok_d, (col << 2) | t_d, _I(0))
+
+    cm = cummax_lanes(key_d, 10, _I(0), col)
     is_start = (cm >> 2) == col
     covered_ones = (cm & 3) == _I(_T_ONES)
     chunks = jnp.where(
         is_start, val_d, jnp.where(covered_ones, _U(ONES31), zero_u)
     )
-    chunks_ref[:] = jnp.where(base + col < nc_ref[0], chunks, zero_u)
+    chunks = jnp.where(base + col < meta_ref[0], chunks, zero_u)
 
-
-def decode_blocks(
-    words: jnp.ndarray, m, chunk_capacity: int
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Expand words[:m] -> (chunks (chunk_capacity,), n_chunks).
-
-    chunk_capacity must be a multiple of 1024. Fused-kernel equivalent
-    of ops.decode.decode_chunks.
-    """
-    assert chunk_capacity % L == 0, chunk_capacity
-    M = words.shape[0]
-    B = TILE_BLOCKS
-    words = words.astype(_U)
-    m = jnp.asarray(m, dtype=_I)
-
-    counts = word_counts(words, m)
-    offsets = jnp.cumsum(counts, dtype=_I) - counts
-    n_chunks = offsets[-1] + counts[-1]
-    i = jnp.arange(M, dtype=_I)
-    offs_masked = jnp.where(i < m, offsets, _I(_FAR))
-
-    nbo = chunk_capacity // L
-    nbo_p = -(-nbo // B) * B
-    g = jnp.arange(nbo_p, dtype=_I) * L
-    lo_arr = jnp.clip(
-        jnp.searchsorted(offs_masked, g, side="right").astype(_I) - 1,
-        0,
-        max(M - 1, 0),
+    # --- fused 31->32-bit merge (reference mergeWords, kernels.cu:369-385)
+    # int[x] = (c[x] >> x) | (c[x+1] << (31-x)) within each 32-chunk
+    # warp (blocks are warp-aligned, so no cross-row carry), then the
+    # 992 valid lanes compact left over a static mask schedule.
+    xl = (col % 32).astype(_U)
+    cnext = jnp.where(
+        col < L - 1, pltpu.roll(chunks, shift=L - 1, axis=1), zero_u
     )
-    # pad the stream to whole tiles + one extra tile so every 2-tile
-    # window DMA is in bounds, then view as (T, 8, 128) tiles
-    Mp = (-(-M // L) + 2) * L
-    pad = Mp - M
-    words_t = jnp.concatenate([words, jnp.zeros((pad,), _U)]).reshape(
-        -1, 8, 128
-    )
-    offs_t = jnp.concatenate(
-        [offs_masked, jnp.full((pad,), _FAR, _I)]
-    ).reshape(-1, 8, 128)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nbo_p // B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((B, 1), lambda i, lo, nc: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((B, L), lambda i, lo, nc: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2 * B, 8, 128), _U),
-            pltpu.VMEM((2 * B, 8, 128), _I),
-            pltpu.SemaphoreType.DMA((2, B)),
-        ],
-    )
-    chunks2d = pl.pallas_call(
-        _decode_body,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nbo_p, L), _U)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        interpret=_interpret(),
-    )(
-        lo_arr,
-        n_chunks.reshape(1),
-        words_t,
-        offs_t,
-        lo_arr.reshape(nbo_p, 1),
-    )[0]
-    return chunks2d.reshape(-1)[:chunk_capacity], n_chunks
+    ints = (chunks >> xl) | (cnext << (_U(31) - xl))
+    for k in range(5):
+        ints = jnp.where(
+            mmasks_ref[k : k + 1, :] != 0,
+            pltpu.roll(ints, shift=L - (1 << k), axis=1),
+            ints,
+        )
+    ints_ref[:] = ints[:, :BLOCK_INTS]
 
 
 def decode(
     words: jnp.ndarray, m, chunk_capacity: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel equivalent of ops.decode.decode: words[:m] ->
-    (ints (chunk_capacity//32*31,), n_ints)."""
-    chunks, n_chunks = decode_blocks(words, m, chunk_capacity)
-    ints = bits.merge_chunks(chunks)
+    (ints (chunk_capacity//32*31,), n_ints). chunk_capacity must be a
+    multiple of 1024."""
+    assert chunk_capacity % L == 0, chunk_capacity
+    M = words.shape[0]
+    B = TILE_BLOCKS
+    words = words.astype(_U)
+    m = jnp.asarray(m, dtype=_I)
+
+    # row-granular prescan: expanded size per 1024-word row
+    Mr = -(-M // L) * L
+    wpad = jnp.concatenate([words, jnp.zeros((Mr - M,), _U)])
+    i = jnp.arange(Mr, dtype=_I)
+    is_fill = (wpad & _U(BIT31)) != 0
+    counts = jnp.where(is_fill, (wpad & _U(LEN_MASK)).astype(_I), _I(1))
+    counts = jnp.where(i < m, counts, _I(0))
+    row_sums = jnp.sum(counts.reshape(-1, L), axis=1, dtype=_I)
+    row_base = jnp.cumsum(row_sums, dtype=_I) - row_sums
+    n_chunks = row_base[-1] + row_sums[-1]
+
+    nbo = chunk_capacity // L
+    nbo_p = -(-nbo // B) * B
+    g = jnp.arange(nbo_p, dtype=_I) * L
+    r_arr = jnp.clip(
+        jnp.searchsorted(row_base, g, side="right").astype(_I) - 1,
+        0,
+        row_base.shape[0] - 1,
+    )
+    coff_arr = jnp.take(row_base, r_arr, fill_value=0)
+
+    # pad the stream to whole tiles + one extra tile so every 2-tile
+    # window DMA is in bounds, then view as (T, 8, 128) tiles
+    words_t = jnp.concatenate([wpad, jnp.zeros((L,), _U)]).reshape(
+        -1, 8, 128
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nbo_p // B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((5, L), lambda i, r, mt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i, r, mt: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i, r, mt: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, BLOCK_INTS), lambda i, r, mt: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * B, 8, 128), _U),
+            pltpu.SemaphoreType.DMA((B,)),
+        ],
+    )
+    meta = jnp.stack([n_chunks, m])
+    ints2d = pl.pallas_call(
+        _decode_body,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nbo_p, BLOCK_INTS), _U)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_interpret(),
+    )(
+        r_arr,
+        meta,
+        words_t,
+        jnp.asarray(_MERGE_MASKS),
+        r_arr.reshape(nbo_p, 1),
+        coff_arr.reshape(nbo_p, 1),
+    )[0]
+    ints = ints2d.reshape(-1)[: nbo * BLOCK_INTS]
     n_ints = (31 * n_chunks + 31) // 32
     return ints, n_ints
