@@ -115,7 +115,7 @@ def _decode_body(
     win = wscr[...].reshape(B, W)
     colw = lane_iota((B, W))
     roww = jax.lax.broadcasted_iota(_I, (B, W), 0)
-    base_w = (pid * B + roww) * L
+    base_w = meta_ref[2] + (pid * B + roww) * L
     m = meta_ref[1]
     idx = rcol_ref[:] * L + colw  # global word index per window lane
 
@@ -141,7 +141,7 @@ def _decode_body(
     tok1 = tok[:, :L]
     col = lane_iota((B, L))
     row = jax.lax.broadcasted_iota(_I, (B, L), 0)
-    base = (pid * B + row) * L
+    base = meta_ref[2] + (pid * B + row) * L
     zero_u = jnp.zeros((B, L), _U)
     zi = jnp.zeros((), _I)
 
@@ -204,11 +204,14 @@ def _decode_body(
 
 
 def decode(
-    words: jnp.ndarray, m, chunk_capacity: int
+    words: jnp.ndarray, m, chunk_capacity: int, chunk_base=0
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel equivalent of ops.decode.decode: words[:m] ->
     (ints (chunk_capacity//32*31,), n_ints). chunk_capacity must be a
-    multiple of 1024."""
+    multiple of 1024. chunk_base (a block-aligned traced scalar) decodes
+    the span [chunk_base, chunk_base + chunk_capacity) instead — the
+    unit of work one shard owns in the distributed decoder; n_ints is
+    still the stream's global total."""
     assert chunk_capacity % L == 0, chunk_capacity
     M = words.shape[0]
     B = TILE_BLOCKS
@@ -228,7 +231,7 @@ def decode(
 
     nbo = chunk_capacity // L
     nbo_p = -(-nbo // B) * B
-    g = jnp.arange(nbo_p, dtype=_I) * L
+    g = jnp.asarray(chunk_base, dtype=_I) + jnp.arange(nbo_p, dtype=_I) * L
     r_arr = jnp.clip(
         jnp.searchsorted(row_base, g, side="right").astype(_I) - 1,
         0,
@@ -263,7 +266,7 @@ def decode(
             pltpu.SemaphoreType.DMA((B,)),
         ],
     )
-    meta = jnp.stack([n_chunks, m])
+    meta = jnp.stack([n_chunks, m, jnp.asarray(chunk_base, dtype=_I)])
     ints2d = pl.pallas_call(
         _decode_body,
         grid_spec=grid_spec,

@@ -126,7 +126,7 @@ def _encode_body(nv_ref, masks_ref, ints_ref, staging_ref, counts_ref):
 
     # --- validity: global chunk position < n_valid_chunks -------------
     row = jax.lax.broadcasted_iota(_I, (B, L), 0)
-    gpos = (pid * B + row) * L + col
+    gpos = nv_ref[1] + (pid * B + row) * L + col  # chunk_base + local pos
     v = gpos < nv_ref[0]
 
     # --- run starts/ends + word slots (reference: kernels.cu:126-174,
@@ -156,21 +156,25 @@ def _encode_body(nv_ref, masks_ref, ints_ref, staging_ref, counts_ref):
     # get d = 0 (stationary) and are either overwritten by an arriving
     # word (every lane < count receives exactly its word — monotone
     # routing admits no overtaking) or masked out by the count below.
+    # Raw rotations for the data moves: wrapped lanes are never selected
+    # (the source mask is edge-masked).
     d = jnp.where(end, col - widx, _I(0))
     vals = value
     for k in range(10):
         kk = 1 << k
         src = shift_left(d & kk, kk, _I(0), col) != 0
-        vals = jnp.where(src, shift_left(vals, kk, jnp.zeros((), _U), col), vals)
-        d = jnp.where(src, shift_left(d, kk, _I(0), col), d)
+        vals = jnp.where(src, pltpu.roll(vals, shift=L - kk, axis=1), vals)
+        d = jnp.where(src, pltpu.roll(d, shift=L - kk, axis=1), d)
     staging_ref[:] = jnp.where(col < incl[:, L - 1 : L], vals, zero_u)
 
 
 def encode_tiles(
     ints2d: jnp.ndarray, nv: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(nb, 992) uint32 + (1,) valid-chunk count ->
-    (staging (nb, 1024) uint32, counts (nb, 1) int32). nb % 8 == 0."""
+    """(nb, 992) uint32 + (2,) [valid-chunk count, global chunk base] ->
+    (staging (nb, 1024) uint32, counts (nb, 1) int32). nb % TILE == 0.
+    chunk_base is nonzero on shards of a distributed encode (validity is
+    judged against the global chunk position)."""
     nb = ints2d.shape[0]
     assert ints2d.shape == (nb, BLOCK_INTS) and nb % TILE_BLOCKS == 0
     B = TILE_BLOCKS
@@ -204,7 +208,7 @@ def encode_tiles(
         ),
         interpret=_interpret(),
     )(
-        nv.astype(_I).reshape(1),
+        nv.astype(_I).reshape(2),
         jnp.asarray(_REPART_MASKS),
         ints2d.astype(_U),
     )
@@ -413,7 +417,7 @@ def _fused_body(
         chunk == _U(0), _I(0), jnp.where(chunk == _U(ONES31), _I(1), _I(2))
     )
     row = jax.lax.broadcasted_iota(_I, (B, L), 0)
-    gpos = (pid * B + row) * L + col
+    gpos = nv_ref[1] + (pid * B + row) * L + col
     v = gpos < nv_ref[0]
 
     prev_t = shift_right(t, 1, _I(-1), col)
@@ -551,7 +555,7 @@ def encode_fused(
         ),
         interpret=_interpret(),
     )(
-        nv.astype(_I).reshape(1),
+        nv.astype(_I).reshape(2),
         jnp.asarray(_REPART_MASKS),
         ints2d.astype(_U),
     )
@@ -559,7 +563,7 @@ def encode_fused(
 
 
 def encode_padded_fused(
-    ints: jnp.ndarray, n_valid_chunks
+    ints: jnp.ndarray, n_valid_chunks, chunk_base=0
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """encode_padded via the single fused kernel."""
     assert ints.shape[0] % BLOCK_INTS == 0, ints.shape
@@ -570,18 +574,21 @@ def encode_padded_fused(
         ints2d = jnp.concatenate(
             [ints2d, jnp.zeros((nbp - nb, BLOCK_INTS), _U)], axis=0
         )
-    nv = jnp.asarray(n_valid_chunks, dtype=_I).reshape(1)
+    nv = jnp.stack([
+        jnp.asarray(n_valid_chunks, dtype=_I),
+        jnp.asarray(chunk_base, dtype=_I),
+    ])
     words, counts = encode_fused(ints2d, nv)
     total = jnp.sum(counts[:, 0], dtype=_I)
     return words[: nb * L], total
 
 
 def encode_padded(
-    ints: jnp.ndarray, n_valid_chunks
+    ints: jnp.ndarray, n_valid_chunks, chunk_base=0
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel equivalent of ops.encode.encode_padded: compress a
     block-aligned (nb*992,) uint32 bitmap. Returns (words (nb*1024,),
-    total); words beyond total are zero."""
+    total); words beyond total are zero. chunk_base: see encode_tiles."""
     assert ints.shape[0] % BLOCK_INTS == 0, ints.shape
     nb = ints.shape[0] // BLOCK_INTS
     nbp = -(-nb // TILE_BLOCKS) * TILE_BLOCKS
@@ -590,7 +597,10 @@ def encode_padded(
         ints2d = jnp.concatenate(
             [ints2d, jnp.zeros((nbp - nb, BLOCK_INTS), _U)], axis=0
         )
-    nv = jnp.asarray(n_valid_chunks, dtype=_I).reshape(1)
+    nv = jnp.stack([
+        jnp.asarray(n_valid_chunks, dtype=_I),
+        jnp.asarray(chunk_base, dtype=_I),
+    ])
     staging, counts = encode_tiles(ints2d, nv)
     counts = counts[:, 0]
     offsets_ext = jnp.concatenate(

@@ -69,10 +69,21 @@ def make_mesh(devices=None) -> Mesh:
 # --------------------------------------------------------------------------
 
 def _encode_local(ints_l: jnp.ndarray, nv: jnp.ndarray):
-    """Per-shard encode: (nb_l*992,) ints -> (nb_l*1024,) words, (1,) total."""
+    """Per-shard encode: (nb_l*992,) ints -> (nb_l*1024,) words, (1,) total.
+
+    On TPU backends each shard runs the fused Pallas kernels; elsewhere
+    (CPU meshes, tests) the pure-XLA pipeline. Both are bit-identical.
+    """
     nb_l = ints_l.shape[0] // BLOCK_INTS
     shard = jax.lax.axis_index(AXIS).astype(_I)
     chunk_base = shard * _I(nb_l * BLOCK_CHUNKS)
+    if jax.default_backend() != "cpu":
+        from ..ops.pallas import encode_kernel
+
+        words_l, total_l = encode_kernel.encode_padded(
+            ints_l.astype(jnp.uint32), nv, chunk_base
+        )
+        return words_l, total_l[None]
     chunks = bits.repartition_chunks(ints_l).reshape(nb_l, BLOCK_CHUNKS)
     staging, counts = encode_blocks(chunks, nv, chunk_base)
     words_l, total_l = stitch(staging, counts)
@@ -92,11 +103,14 @@ def encode_sharded(
     single-chip stream.
     """
     assert ints.shape[0] % (BLOCK_INTS * mesh.size) == 0, ints.shape
+    # check_vma=False: the local body may invoke Pallas kernels, whose
+    # out_shapes don't carry the varying-axis metadata the checker needs
     f = jax.shard_map(
         _encode_local,
         mesh=mesh,
         in_specs=(P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
     )
     return f(ints.astype(_U), jnp.asarray(n_valid_chunks, dtype=_I))
 
@@ -167,9 +181,19 @@ def _decode_local(words: jnp.ndarray, m: jnp.ndarray, chunks_l: int):
     """Per-shard decode of chunk span [shard*chunks_l, (shard+1)*chunks_l).
 
     words is replicated. Returns (ints_l (chunks_l//32*31,), n_chunks (1,)).
+    On TPU backends with block-aligned shards each shard runs the fused
+    Pallas decoder; elsewhere the pure-XLA span decoder.
     """
     shard = jax.lax.axis_index(AXIS).astype(_I)
     base = shard * _I(chunks_l)
+    if jax.default_backend() != "cpu" and chunks_l % BLOCK_CHUNKS == 0:
+        from ..ops.pallas import decode_kernel
+
+        from ..ops.decode import word_counts
+
+        ints_l, _ = decode_kernel.decode(words, m, chunks_l, base)
+        n_chunks = jnp.sum(word_counts(words, m), dtype=_I)
+        return ints_l, n_chunks[None]
     # +32 capacity: one extra warp of chunks so chunk[chunks_l] (the
     # cross-shard merge carry, reference: kernels.cu:377) decodes locally
     chunks_ext, n_chunks = decode_span(words, m, base, chunks_l + 32)
@@ -195,6 +219,7 @@ def decode_sharded(
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
     )
     return f(words.astype(_U), jnp.asarray(m, dtype=_I))
 
