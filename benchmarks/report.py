@@ -53,6 +53,58 @@ def generate_random_data(n_ints: int, every_n: int, seed: int = 1337) -> np.ndar
     )
 
 
+def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
+    """Amortized on-device times for one encode and one decode of this
+    config (marginal cost of extra in-device iterations; see
+    wah_tpu.utils.profiling.amortized_seconds)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from wah_tpu.constants import BLOCK_CHUNKS, BLOCK_INTS
+    from wah_tpu.golden import chunk_count
+    from wah_tpu.utils.profiling import amortized_seconds
+
+    if jax.default_backend() == "cpu":
+        from wah_tpu.ops.decode import decode as dec_fn
+        from wah_tpu.ops.encode import encode_padded as enc_fn
+    else:
+        from wah_tpu.ops.pallas.decode_kernel import decode as dec_fn
+        from wah_tpu.ops.pallas.encode_kernel import encode_padded as enc_fn
+
+    n = data.shape[0]
+    nv = np.int32(chunk_count(n))
+    nb = -(-int(nv) // BLOCK_CHUNKS)
+    padded = np.zeros(nb * BLOCK_INTS, dtype=np.uint32)
+    padded[:n] = data
+    dev = jax.device_put(padded)
+
+    # small configs need more in-device iterations for a stable marginal
+    iters = 17 if data.nbytes < (1 << 25) else 5
+
+    def enc_step(p, x, nvv):
+        words, total = enc_fn(x, nvv - p)
+        return total + words[1].astype(jnp.int32)
+
+    enc_s = amortized_seconds(enc_step, dev, nv, iters=iters)
+
+    m = stream.shape[0]
+    cap = nb * BLOCK_CHUNKS
+    M = max(1024, -(-m // 1024) * 1024)
+    wpad = np.zeros(M, dtype=np.uint32)
+    wpad[:m] = stream
+    wdev = jax.device_put(wpad)
+    dfn = partial(dec_fn, chunk_capacity=cap)
+
+    def dec_step(p, w, mm):
+        ints, n_ints = dfn(w, mm - p)
+        return n_ints + ints[1].astype(jnp.int32)
+
+    dec_s = amortized_seconds(dec_step, wdev, np.int32(m), iters=iters)
+    return enc_s, dec_s
+
+
 def completed_configs(path: str) -> set[tuple[int, float]]:
     done = set()
     if not os.path.exists(path):
@@ -83,6 +135,12 @@ def main(argv=None) -> None:
     p.add_argument("--kernel", default="auto",
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--device-timing", action="store_true",
+                   help="measure the kernel phase with an amortized "
+                        "in-device loop instead of wall clock — the "
+                        "equivalent of the reference's cudaEvent kernel "
+                        "timers when the host<->device link dominates a "
+                        "single dispatch (see bench.py)")
     args = p.parse_args(argv)
 
     from wah_tpu import WahCodec
@@ -106,6 +164,11 @@ def main(argv=None) -> None:
                       file=sys.stderr)
                 continue
             data = generate_random_data(n, 1 << i, seed=args.seed)
+            # untimed warmup: jit compilation happens per shape bucket
+            # (the reference pays no compile cost; cudaEvent timings
+            # would otherwise absorb it into the first rep)
+            s0, _ = codec.compress(data)
+            codec.decompress(s0, out_ints=n)
             acc = np.zeros(6)
             comp_size = 0
             for _ in range(args.reps):
@@ -119,6 +182,10 @@ def main(argv=None) -> None:
                     dt.to_device_ms, dt.kernel_ms, dt.from_device_ms,
                 ]
             acc /= args.reps
+            if args.device_timing:
+                enc_s, dec_s = _device_kernel_seconds(data, stream)
+                acc[1] = enc_s * 1e3
+                acc[4] = dec_s * 1e3
             ratio = comp_size / n
             enc_gbps = data.nbytes / (acc[1] / 1e3) / 1e9
             dec_gbps = data.nbytes / (acc[4] / 1e3) / 1e9
