@@ -69,7 +69,6 @@ def main(argv=None) -> None:
     if args.cmd == "info":
         stream, original_bytes = _read_wah(args.input)
         from .api import validate_stream
-        from .golden import decode as golden_decode  # noqa: F401
         from .native import available, decoded_chunks
 
         validate_stream(stream)

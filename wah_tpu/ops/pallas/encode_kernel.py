@@ -34,10 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import BIT31, BIT3130, BLOCK_CHUNKS, BLOCK_INTS, ONES31
 from .common import (
-    compact_lanes,
     cummax_lanes,
     cumsum_lanes,
-    expand_lanes,
     lane_iota,
     shift_left,
     shift_right,
