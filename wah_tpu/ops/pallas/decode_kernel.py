@@ -231,12 +231,20 @@ def decode(
 
     nbo = chunk_capacity // L
     nbo_p = -(-nbo // B) * B
-    g = jnp.asarray(chunk_base, dtype=_I) + jnp.arange(nbo_p, dtype=_I) * L
-    r_arr = jnp.clip(
-        jnp.searchsorted(row_base, g, side="right").astype(_I) - 1,
-        0,
-        row_base.shape[0] - 1,
+    base_i = jnp.asarray(chunk_base, dtype=_I)
+    # r(t) = last word row with row_base <= chunk_base + 1024 t, i.e. the
+    # row containing block t's covering window. searchsorted over the
+    # row table costs ~3x more than this scatter-max + cummax (row r
+    # first covers block slot ceil((row_base[r] - chunk_base) / 1024);
+    # the last row claiming a slot wins, then forward-fill).
+    nrows = row_base.shape[0]
+    slot = (row_base - base_i + (L - 1)) // L
+    A = (
+        jnp.full((nbo_p + 1,), -1, _I)
+        .at[jnp.clip(slot, 0, nbo_p)]
+        .max(jnp.arange(nrows, dtype=_I))[:nbo_p]
     )
+    r_arr = jnp.maximum(jax.lax.cummax(A), 0)
     coff_arr = jnp.take(row_base, r_arr, fill_value=0)
 
     # pad the stream to whole tiles + one extra tile so every 2-tile
