@@ -1,0 +1,65 @@
+"""Compressed-domain logical ops: differential against the obvious
+decode-op-encode oracle built from the golden model."""
+import numpy as np
+import pytest
+
+from conftest import clustered_bitmap, random_bitmap
+from wah_tpu import WahCodec, golden
+from wah_tpu.constants import BLOCK_INTS
+from wah_tpu.ops.logical import OPS, complement_stream
+
+
+def _oracle(a_bits, b_bits, op):
+    return {
+        "and": a_bits & b_bits,
+        "or": a_bits | b_bits,
+        "xor": a_bits ^ b_bits,
+        "andnot": a_bits & ~b_bits,
+    }[op]
+
+
+@pytest.fixture(scope="module")
+def codec():
+    return WahCodec(kernel="xla")
+
+
+@pytest.mark.parametrize("op", sorted(OPS))
+def test_logical_matches_oracle(codec, op):
+    n = 3 * BLOCK_INTS + 111
+    a = random_bitmap(n, 0.05, seed=1)
+    b = clustered_bitmap(n, seed=2)
+    sa, sb = golden.encode(a), golden.encode(b)
+    got = codec.logical(sa, sb, op, n)
+    want = golden.encode(_oracle(a, b, op))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_logical_extreme_operands(codec):
+    n = 2 * BLOCK_INTS
+    zeros = np.zeros(n, np.uint32)
+    ones = np.full(n, 0xFFFFFFFF, np.uint32)
+    sz, so = golden.encode(zeros), golden.encode(ones)
+    assert list(codec.logical(sz, so, "and", n)) == list(sz)
+    assert list(codec.logical(sz, so, "or", n)) == list(so)
+    assert list(codec.logical(so, so, "xor", n)) == list(sz)
+
+
+def test_complement_stream_roundtrip():
+    n = 2 * BLOCK_INTS  # whole blocks: no padding-bit semantics to mask
+    a = random_bitmap(n, 0.2, seed=3)
+    s = golden.encode(a)
+    sc = np.asarray(complement_stream(s, len(s)))
+    out = golden.decode(sc, out_ints=n)
+    np.testing.assert_array_equal(out, ~a)
+
+
+def test_logical_composition(codec):
+    """(A and B) or (A xor B) == A or B, computed fully compressed."""
+    n = BLOCK_INTS + 77
+    a = random_bitmap(n, 0.3, seed=4)
+    b = random_bitmap(n, 0.3, seed=5)
+    sa, sb = golden.encode(a), golden.encode(b)
+    t1 = codec.logical(sa, sb, "and", n)
+    t2 = codec.logical(sa, sb, "xor", n)
+    got = codec.logical(t1, t2, "or", n)
+    np.testing.assert_array_equal(got, golden.encode(a | b))

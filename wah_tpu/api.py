@@ -156,6 +156,39 @@ class WahCodec:
             out = out[:, :out_ints]
         return out
 
+    # -- compressed-domain logical ops (bitmap-index queries) --------------
+    def logical(
+        self,
+        stream_a: np.ndarray,
+        stream_b: np.ndarray,
+        op: str,
+        n_ints: int,
+    ) -> np.ndarray:
+        """A op B on compressed streams of equal logical length n_ints
+        (op: and/or/xor/andnot). One fused device pipeline
+        (decode + combine + re-encode); returns the compressed result."""
+        from .ops import logical as _lops
+
+        a = np.ascontiguousarray(stream_a, dtype=np.uint32)
+        b = np.ascontiguousarray(stream_b, dtype=np.uint32)
+        M = _next_pow2(max(len(a), len(b), 1024))
+        pa = np.zeros(M, np.uint32)
+        pa[: len(a)] = a
+        pb = np.zeros(M, np.uint32)
+        pb[: len(b)] = b
+        key = ("logical", op, M, n_ints)
+        fn = self._encode_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(_lops.logical_op, op=op, n_ints=n_ints)
+            )
+            self._encode_fns[key] = fn
+        words, total = fn(
+            jax.device_put(pa), np.int32(len(a)),
+            jax.device_put(pb), np.int32(len(b)),
+        )
+        return np.asarray(words[: int(total)])
+
     # -- public API --------------------------------------------------------
     def compress(
         self, data: np.ndarray
