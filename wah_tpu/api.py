@@ -55,8 +55,9 @@ class WahCodec:
     def __init__(self, kernel: str = "auto"):
         assert kernel in ("auto", "xla", "pallas"), kernel
         self._kernel = kernel
-        self._encode_fns: dict[int, object] = {}
-        self._decode_fns: dict[tuple[int, int], object] = {}
+        # jit caches keyed by shape bucket (+ kernel/op variants)
+        self._encode_fns: dict[tuple, object] = {}
+        self._decode_fns: dict[tuple, object] = {}
 
     # -- kernel selection -------------------------------------------------
     def _use_pallas(self) -> bool:
