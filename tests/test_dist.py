@@ -128,3 +128,11 @@ def test_sharded_codec_roundtrip(mesh):
     stream = codec.compress(data)
     out = codec.decompress(stream, out_ints=len(data))
     np.testing.assert_array_equal(out, data)
+
+
+def test_sharded_decompress_rejects_corrupt_stream(mesh):
+    from wah_tpu.parallel.dist import ShardedCodec
+
+    codec = ShardedCodec(mesh)
+    with pytest.raises(ValueError):
+        codec.decompress(np.array([0x80000000], dtype=np.uint32))

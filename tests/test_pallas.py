@@ -99,3 +99,24 @@ def test_pallas_stitch_dense_prefix_garbage_contract():
     got = _encode(data)
     assert got.shape == ref.shape
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_shard_padding_emits_no_spurious_words():
+    """Regression (round-1 advisor, high): on a non-final shard of a
+    distributed encode, chunk_base + local padding positions are below
+    the GLOBAL n_valid_chunks; without clamping to the local block
+    range, rows padding nb up to TILE_BLOCKS emitted spurious
+    BIT31|1024 words into the shard total."""
+    nb = 4  # < TILE_BLOCKS (8 in interpreter mode) -> padding rows exist
+    assert nb < encode_kernel.TILE_BLOCKS
+    data = np.zeros(nb * BLOCK_INTS, dtype=np.uint32)
+    nv_global = np.int32(8 * nb * BLOCK_CHUNKS)  # simulates 8 shards
+    for base in (0, nb * BLOCK_CHUNKS):
+        for fn in (encode_kernel.encode_padded,
+                   encode_kernel.encode_padded_fused):
+            words, total = jax.jit(fn)(data, nv_global, np.int32(base))
+            assert int(total) == nb, (fn.__name__, base, int(total))
+            np.testing.assert_array_equal(
+                np.asarray(words)[:nb],
+                np.full(nb, 0x80000000 | 1024, np.uint32),
+            )

@@ -32,10 +32,26 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
+# Chunk positions are int32 throughout the kernels: one bitmap is capped
+# at 2^31 - 1 chunks (~8.3 GB). Checked at every compress entry; larger
+# datasets shard over columns/segments (compress_batch, ShardedCodec).
+MAX_INTS_PER_BITMAP = (((1 << 31) - 1) * 31) // 32
+
+
+def _check_size(n: int) -> None:
+    if n > MAX_INTS_PER_BITMAP:
+        raise ValueError(
+            f"bitmap of {n} ints exceeds the 2^31-1 chunk (~8.3 GB) "
+            "int32 position limit; split into columns or segments"
+        )
+
+
 def validate_stream(words: np.ndarray) -> None:
     """Sanity-check a WAH stream against the format invariants
     (SURVEY.md section 0.1): no 0x0/0x7FFFFFFF words, fill lengths in
-    [1, 1024]."""
+    [1, 1024]. The reference decoder checks nothing (decompress.cu:48-52)
+    and expands corrupt streams into silent garbage; every decompress
+    entry point here validates first."""
     words = np.asarray(words, dtype=np.uint32)
     if np.any(words == 0) or np.any(words == ONES31):
         raise ValueError("invalid WAH stream: contains literal-fill word")
@@ -43,6 +59,19 @@ def validate_stream(words: np.ndarray) -> None:
     lens = fills & np.uint32(LEN_MASK)
     if fills.size and (lens.min() < 1 or lens.max() > BLOCK_CHUNKS):
         raise ValueError("invalid WAH stream: fill length out of range")
+
+
+def checked_stream(words: np.ndarray) -> np.ndarray:
+    """ascontiguousarray(uint32) + validation (native fast path when the
+    C++ codec is built, else the NumPy check)."""
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    from . import native
+
+    if native.available():
+        native.validate(words)
+    else:
+        validate_stream(words)
+    return words
 
 
 class WahCodec:
@@ -109,23 +138,36 @@ class WahCodec:
         """Compress C equal-length bitmap columns at once.
 
         data: (C, n) uint32. Returns (words (C, cap), totals (C,));
-        column c's stream is words[c, :totals[c]]. Uses the vmapped XLA
-        pipeline (columns become a leading batch dim; the reference
-        would call compress() per column)."""
+        column c's stream is words[c, :totals[c]]. On TPU backends each
+        column runs the fused Pallas encode (lax.map — the column axis
+        is a sequential outer grid over full-chip kernels); elsewhere
+        the vmapped XLA pipeline. The reference would call compress()
+        per column (compress.h:12)."""
         data = np.ascontiguousarray(data, dtype=np.uint32)
         C, n = data.shape
         if n == 0:
             return np.zeros((C, 0), np.uint32), np.zeros((C,), np.int64)
+        _check_size(n)
         nv = chunk_count(n)
         nb = _next_pow2(-(-nv // BLOCK_CHUNKS))
         padded = np.zeros((C, nb * BLOCK_INTS), dtype=np.uint32)
         padded[:, :n] = data
-        key = ("batch_enc", C, nb)
+        key = ("batch_enc", C, nb, self._use_pallas())
         fn = self._encode_fns.get(key)
         if fn is None:
-            fn = jax.jit(_encode_ops.encode_batch, static_argnums=(1,))
+            if key[3]:
+                from .ops.pallas import encode_kernel
+
+                def _batch_enc(cols, nv):
+                    return jax.lax.map(
+                        lambda x: encode_kernel.encode_padded(x, nv), cols
+                    )
+
+                fn = jax.jit(_batch_enc)
+            else:
+                fn = jax.jit(_encode_ops.encode_batch, static_argnums=(1,))
             self._encode_fns[key] = fn
-        words, totals = fn(jax.device_put(padded), nv)
+        words, totals = fn(jax.device_put(padded), np.int32(nv))
         return np.asarray(words), np.asarray(totals)
 
     def decompress_batch(
@@ -141,15 +183,30 @@ class WahCodec:
         C, M = words.shape
         if M == 0:
             return np.zeros((C, 0), np.uint32)
+        # per-word invariants hold column-wise on the valid prefixes
+        validate_stream(words[np.arange(M)[None, :] < totals[:, None]])
         is_fill = (words & np.uint32(BIT31)) != 0
         counts = np.where(is_fill, words & np.uint32(LEN_MASK), 1)
         counts[np.arange(M)[None, :] >= totals[:, None]] = 0
         n_chunks = int(counts.sum(axis=1).max())
         cap = _next_pow2(max(1, -(-n_chunks // BLOCK_CHUNKS))) * BLOCK_CHUNKS
-        key = ("batch_dec", C, M, cap)
+        key = ("batch_dec", C, M, cap, self._use_pallas())
         fn = self._decode_fns.get(key)
         if fn is None:
-            fn = jax.jit(partial(_decode_ops.decode_batch, chunk_capacity=cap))
+            if key[4]:
+                from .ops.pallas import decode_kernel
+
+                def _batch_dec(words, totals):
+                    return jax.lax.map(
+                        lambda wt: decode_kernel.decode(wt[0], wt[1], cap),
+                        (words, totals),
+                    )
+
+                fn = jax.jit(_batch_dec)
+            else:
+                fn = jax.jit(
+                    partial(_decode_ops.decode_batch, chunk_capacity=cap)
+                )
             self._decode_fns[key] = fn
         ints, n_ints = fn(jax.device_put(words), totals.astype(np.int32))
         out = np.asarray(ints)
@@ -202,6 +259,7 @@ class WahCodec:
         n = data.shape[0]
         if n == 0:
             return np.zeros(0, dtype=np.uint32), PhaseTimings()
+        _check_size(n)
         nv = chunk_count(n)
         nb = -(-nv // BLOCK_CHUNKS)
         nb_b = _next_pow2(nb)
@@ -235,7 +293,7 @@ class WahCodec:
         (reference: decompress.cu:82-92); pass `out_ints` to trim to the
         original un-padded length.
         """
-        words = np.ascontiguousarray(words, dtype=np.uint32)
+        words = checked_stream(words)
         m = words.shape[0]
         if m == 0:
             return np.zeros(0, dtype=np.uint32), PhaseTimings()

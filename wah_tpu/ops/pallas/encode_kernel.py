@@ -19,7 +19,10 @@ block's dense word prefix is rotated to its global bit-stream phase
 2048-word pending window, and flushed to HBM one aligned 1024-word tile
 at a time with double-buffered DMAs. The invariant `tiles_flushed ==
 block_offset // 1024` holds because block counts are <= 1024. Output
-words beyond `total` are zero.
+words beyond `total` are UNSPECIFIED (only tiles 0..ceil(total/1024)-1
+are ever written on compiled TPU; the interpreter zero-fills) — callers
+must slice/mask by the returned total, unlike ops.encode whose XLA
+stitch does zero the tail.
 
 HBM traffic per block: read 3968 B input + write 4096 B staging + 4 B
 count, then stitch reads staging once and writes ~compressed size — ~3
@@ -314,8 +317,8 @@ def _stitch_body(
 
 def stitch_tiles(staging: jnp.ndarray, offsets_ext: jnp.ndarray) -> jnp.ndarray:
     """Assemble the dense stream from (nb, 1024) staging + exclusive
-    offsets (nb+1, last entry = total). Returns (nb*1024,) uint32 with
-    zeros beyond the total word count."""
+    offsets (nb+1, last entry = total). Returns (nb*1024,) uint32;
+    words beyond the total count are unspecified (see module docstring)."""
     nb = staging.shape[0]
     B = TILE_BLOCKS
     assert nb % B == 0, nb
@@ -514,7 +517,8 @@ def encode_fused(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(nb, 992) + (1,) -> (words (nb*1024,), counts (nb, 1)).
 
-    Single-kernel encode+stitch; words beyond the total are zero."""
+    Single-kernel encode+stitch; words beyond the total are
+    unspecified (see module docstring)."""
     nb = ints2d.shape[0]
     B = TILE_BLOCKS
     assert ints2d.shape == (nb, BLOCK_INTS) and nb % B == 0
@@ -560,6 +564,20 @@ def encode_fused(
     return out.reshape(-1)[: nb * L], counts
 
 
+def _clamped_nv(n_valid_chunks, chunk_base, nb: int) -> jnp.ndarray:
+    """(2,) [validity bound, chunk base] for the kernels, with the bound
+    clamped to the caller's true block range. Without the clamp, the
+    rows padding nb up to a TILE_BLOCKS multiple would count as valid on
+    non-final shards of a distributed encode (their global position is
+    below the *global* n_valid_chunks) and emit spurious zero-fill
+    words into the shard total."""
+    base = jnp.asarray(chunk_base, dtype=_I)
+    bound = jnp.minimum(
+        jnp.asarray(n_valid_chunks, dtype=_I), base + _I(nb * L)
+    )
+    return jnp.stack([bound, base])
+
+
 def encode_padded_fused(
     ints: jnp.ndarray, n_valid_chunks, chunk_base=0
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -572,10 +590,7 @@ def encode_padded_fused(
         ints2d = jnp.concatenate(
             [ints2d, jnp.zeros((nbp - nb, BLOCK_INTS), _U)], axis=0
         )
-    nv = jnp.stack([
-        jnp.asarray(n_valid_chunks, dtype=_I),
-        jnp.asarray(chunk_base, dtype=_I),
-    ])
+    nv = _clamped_nv(n_valid_chunks, chunk_base, nb)
     words, counts = encode_fused(ints2d, nv)
     total = jnp.sum(counts[:, 0], dtype=_I)
     return words[: nb * L], total
@@ -586,7 +601,8 @@ def encode_padded(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel equivalent of ops.encode.encode_padded: compress a
     block-aligned (nb*992,) uint32 bitmap. Returns (words (nb*1024,),
-    total); words beyond total are zero. chunk_base: see encode_tiles."""
+    total); words beyond total are unspecified (see module docstring).
+    chunk_base: see encode_tiles."""
     assert ints.shape[0] % BLOCK_INTS == 0, ints.shape
     nb = ints.shape[0] // BLOCK_INTS
     nbp = -(-nb // TILE_BLOCKS) * TILE_BLOCKS
@@ -595,10 +611,7 @@ def encode_padded(
         ints2d = jnp.concatenate(
             [ints2d, jnp.zeros((nbp - nb, BLOCK_INTS), _U)], axis=0
         )
-    nv = jnp.stack([
-        jnp.asarray(n_valid_chunks, dtype=_I),
-        jnp.asarray(chunk_base, dtype=_I),
-    ])
+    nv = _clamped_nv(n_valid_chunks, chunk_base, nb)
     staging, counts = encode_tiles(ints2d, nv)
     counts = counts[:, 0]
     offsets_ext = jnp.concatenate(

@@ -248,6 +248,9 @@ class ShardedCodec:
         n = data.shape[0]
         if n == 0:
             return np.zeros(0, dtype=np.uint32)
+        from ..api import _check_size
+
+        _check_size(n)
         D = self.mesh.size
         nv = chunk_count(n)
         nb = -(-nv // BLOCK_CHUNKS)
@@ -262,7 +265,9 @@ class ShardedCodec:
     def decompress(
         self, words: np.ndarray, out_ints: int | None = None
     ) -> np.ndarray:
-        words = np.ascontiguousarray(words, dtype=np.uint32)
+        from ..api import checked_stream
+
+        words = checked_stream(words)
         m = words.shape[0]
         if m == 0:
             return np.zeros(0, dtype=np.uint32)

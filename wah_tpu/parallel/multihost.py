@@ -44,8 +44,14 @@ def initialize(
     """
     if num_processes is not None and num_processes <= 1:
         return
-    if jax.process_count() > 1:
-        return  # already initialized
+    # Already-initialized guard. Must NOT call jax.process_count() here:
+    # that would initialize the single-process local backend before
+    # jax.distributed.initialize() runs, defeating the bring-up this
+    # function exists for. Check the distributed client state directly.
+    from jax._src import distributed as _jdist
+
+    if getattr(_jdist.global_state, "client", None) is not None:
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
