@@ -48,3 +48,17 @@ def test_batch_mixed_extremes():
     assert totals[0] == 1 and totals[1] == 1  # single fill word each
     out = codec.decompress_batch(words, totals, out_ints=n)
     np.testing.assert_array_equal(out, data)
+
+
+def test_batch_pallas_path_matches_golden():
+    """The TPU batch route (lax.map over fused Pallas kernels), in
+    interpreter mode: exact per-column streams + roundtrip."""
+    data = _columns(2 * BLOCK_INTS + 100, [1 / 64, 0.5, 0.0], seed0=7)
+    codec = WahCodec(kernel="pallas")
+    words, totals = codec.compress_batch(data)
+    for c in range(data.shape[0]):
+        ref = golden.encode(data[c])
+        assert totals[c] == len(ref), c
+        np.testing.assert_array_equal(words[c, : totals[c]], ref)
+    out = codec.decompress_batch(words, totals, out_ints=data.shape[1])
+    np.testing.assert_array_equal(out, data)
