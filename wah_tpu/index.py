@@ -99,10 +99,32 @@ class BitmapIndex:
         """Compressed bitmap of rows where lo <= value <= hi."""
         return self.query_in(range(lo, hi + 1))
 
+    def _universe(self) -> np.ndarray:
+        """Compressed all-rows bitmap (bits [0, n_rows) set), cached —
+        the tail mask that keeps complement results zero-padded."""
+        u = getattr(self, "_universe_stream", None)
+        if u is None:
+            bits = np.zeros(self.n_ints * 32, np.uint8)
+            bits[: self.n_rows] = 1
+            bitmap = (
+                np.packbits(bits, bitorder="little").view(np.uint32)
+            )
+            u, _ = self.codec.compress(bitmap)
+            self._universe_stream = u
+        return u
+
     def query_not(self, v: int) -> np.ndarray:
-        """Rows where value != v (complement within the row universe)."""
-        others = [u for u in range(self.cardinality) if u != v]
-        return self.query_in(others)
+        """Rows where value != v: one compressed-domain complement (a
+        pure stream rewrite, ops.logical.complement_stream) ANDed with
+        the row universe to clear padding bits — O(1) logical ops
+        instead of OR-ing the other C-1 columns."""
+        import jax.numpy as jnp
+
+        from .ops.logical import complement_stream
+
+        s = self.streams[v]
+        comp = np.asarray(complement_stream(jnp.asarray(s), len(s)))
+        return self.codec.logical(comp, self._universe(), "and", self.n_ints)
 
     def rows(self, stream: np.ndarray) -> np.ndarray:
         """Materialize a compressed row bitmap into row ids."""
@@ -113,14 +135,24 @@ class BitmapIndex:
         return np.flatnonzero(bits)
 
     def count(self, stream: np.ndarray) -> int:
-        """Cardinality of a compressed row bitmap (popcount after
-        decompress; fills make this cheap for selective queries)."""
-        bitmap, _ = self.codec.decompress(stream, out_ints=self.n_ints)
-        return int(
-            np.unpackbits(bitmap.view(np.uint8), bitorder="little")[
-                : self.n_rows
-            ].sum()
-        )
+        """Cardinality of a compressed row bitmap, computed in the
+        compressed domain — one pass over the words (literal payload
+        popcount + 31 * length per one-fill), no decompression. Exact
+        because every index stream keeps padding bits zero (columns are
+        built from zero-padded masks; logical ops mask the tail;
+        query_not ANDs with the universe)."""
+        w = np.ascontiguousarray(stream, dtype=np.uint32)
+        is_fill = (w & np.uint32(0x80000000)) != 0
+        is_ones = (w & np.uint32(0xC0000000)) == np.uint32(0xC0000000)
+        lens = (w & np.uint32(0x3FFFFFFF)).astype(np.int64)
+        lits = w[~is_fill]
+        if hasattr(np, "bitwise_count"):
+            lit_pop = int(np.bitwise_count(lits).sum())
+        else:  # pragma: no cover - numpy < 2
+            lit_pop = int(
+                np.unpackbits(lits.view(np.uint8), bitorder="little").sum()
+            )
+        return lit_pop + 31 * int(lens[is_ones].sum())
 
     # -- size accounting ---------------------------------------------------
     def compressed_bytes(self) -> int:
