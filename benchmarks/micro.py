@@ -1,0 +1,157 @@
+"""Kernel microbenchmarks on the real chip — the measurement harness
+behind the encode/decode tuning decisions (tile sizes, scan shapes,
+fused-vs-two-kernel selection). Amortized in-device loop timing (see
+bench.py docstring: per-dispatch wall clock is invalid through the
+remote tunnel).
+
+    python -m benchmarks.micro [--nb 32768] [--density 0.0625] \
+        [--which enc2,encf,tiles,dec] [-K 5]
+
+Prints one line per variant: name, per-call device ms, GB/s of logical
+bitmap (nb*3968 bytes input for encode; same bitmap decoded for dec).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+
+import numpy as np
+
+
+def _bitmap(nb, density, seed=1337):
+    from wah_tpu.constants import BLOCK_INTS
+
+    n = nb * BLOCK_INTS
+    rng = np.random.default_rng(seed)
+    bits = rng.random((n, 32)) < density
+    return (
+        np.packbits(bits, axis=1, bitorder="little").view(np.uint32).reshape(-1)
+    )
+
+
+def amortized(loop_fn, dev_args, K, reps=3):
+    """(t_K - t_1)/(K-1) with the jitted loop_fn(*dev_args, K)."""
+
+    def best(k):
+        int(loop_fn(*dev_args, k))  # warm/compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(loop_fn(*dev_args, k))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (best(K) - best(1)) / (K - 1)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nb", type=int, default=32768)
+    ap.add_argument("--density", type=float, default=2.0**-4)
+    ap.add_argument("--which", default="enc2,encf,tiles,dec")
+    ap.add_argument("-K", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from wah_tpu.constants import BLOCK_INTS
+    from wah_tpu.golden import chunk_count
+    from wah_tpu.ops.pallas import decode_kernel, encode_kernel
+
+    nb = args.nb
+    data = _bitmap(nb, args.density)
+    n = len(data)
+    nv = np.int32(chunk_count(n))
+    nbytes = data.nbytes
+    dev = jax.device_put(data)
+    which = args.which.split(",")
+
+    def report(name, secs, nbytes_=None):
+        b = nbytes_ or nbytes
+        print(
+            f"{name:10s} {secs*1e3:8.3f} ms  {b/secs/1e9:7.2f} GB/s",
+            flush=True,
+        )
+
+    def enc_loop(enc):
+        @partial(jax.jit, static_argnums=(2,))
+        def loop(ints, nvv, K):
+            def body(i, acc):
+                words, total = enc(ints, nvv - (acc & 1))
+                return acc + total + words[1].astype(jnp.int32)
+
+            return lax.fori_loop(0, K, body, jnp.int32(0))
+
+        return loop
+
+    if "enc2" in which:
+        report(
+            "enc2",
+            amortized(enc_loop(encode_kernel.encode_padded), (dev, nv), args.K),
+        )
+    if "encf" in which:
+        report(
+            "encf",
+            amortized(
+                enc_loop(encode_kernel.encode_padded_fused), (dev, nv), args.K
+            ),
+        )
+    if "tiles" in which:
+        # block encoder alone (no stitch): staging + counts
+        @partial(jax.jit, static_argnums=(2,))
+        def tiles_loop(ints, nvv, K):
+            ints2d = ints.reshape(nb, BLOCK_INTS)
+
+            def body(i, acc):
+                st, cnt = encode_kernel.encode_tiles(
+                    ints2d, jnp.stack([nvv - (acc & 1), jnp.int32(0)])
+                )
+                return acc + cnt[0, 0] + st[0, 0].astype(jnp.int32)
+
+            return lax.fori_loop(0, K, body, jnp.int32(0))
+
+        report("tiles", amortized(tiles_loop, (dev, nv), args.K))
+    if "encv2" in which:
+        # two-kernel encode with the branchless v2 stitch
+        from wah_tpu.ops.pallas.stitch2 import stitch_tiles_v2
+
+        def enc_v2(ints, nvv):
+            nb_ = ints.shape[0] // BLOCK_INTS
+            st, cnt = encode_kernel.encode_tiles(
+                ints.reshape(nb_, BLOCK_INTS),
+                jnp.stack([nvv, jnp.int32(0)]),
+            )
+            counts = cnt[:, 0]
+            offsets_ext = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+            )
+            return stitch_tiles_v2(st, offsets_ext), offsets_ext[-1]
+
+        report("encv2", amortized(enc_loop(enc_v2), (dev, nv), args.K))
+    if "dec" in which:
+        from wah_tpu import golden
+
+        stream = golden.encode(data)
+        m = np.int32(len(stream))
+        M = -(-len(stream) // 1024) * 1024
+        padded = np.zeros(M, np.uint32)
+        padded[: len(stream)] = stream
+        cap = nb * 1024
+        sdev = jax.device_put(padded)
+
+        @partial(jax.jit, static_argnums=(2,))
+        def dec_loop(words, mm, K):
+            def body(i, acc):
+                ints, _ = decode_kernel.decode(words, mm - (acc & 1), cap)
+                return acc + ints[1].astype(jnp.int32)
+
+            return lax.fori_loop(0, K, body, jnp.int32(0))
+
+        report("dec", amortized(dec_loop, (sdev, m), args.K))
+
+
+if __name__ == "__main__":
+    main()

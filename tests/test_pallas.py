@@ -120,3 +120,32 @@ def test_pallas_shard_padding_emits_no_spurious_words():
                 np.asarray(words)[:nb],
                 np.full(nb, 0x80000000 | 1024, np.uint32),
             )
+
+
+def test_wide_scans_match_flat():
+    """cumsum_lanes_wide / cummax_lanes_wide (2-D decomposed scans) are
+    drop-in equal to the flat Hillis-Steele forms."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from wah_tpu.ops.pallas import common
+
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, 100, size=(4, 2048), dtype=np.int32)
+
+    def ker(x_ref, s_ref, m_ref):
+        s_ref[:] = common.cumsum_lanes_wide(x_ref[:])
+        m_ref[:] = common.cummax_lanes_wide(x_ref[:], jnp.int32(-1))
+
+    s, m = pl.pallas_call(
+        ker,
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, jnp.int32),
+            jax.ShapeDtypeStruct(x.shape, jnp.int32),
+        ],
+        interpret=True,
+    )(x)
+    np.testing.assert_array_equal(np.asarray(s), np.cumsum(x, axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(m), np.maximum.accumulate(x, axis=1)
+    )

@@ -1,63 +1,165 @@
-"""On-hardware differential fuzz: every execution path vs the golden
-model, on the real TPU (the pytest suite runs the kernels in interpreter
-mode on CPU; this drives the compiled Mosaic kernels).
+"""On-hardware differential suite: every compiled execution path vs the
+golden model, on the real TPU.
 
-Run manually / from CI with a TPU attached:
-    python tests/tpu_differential.py [n_cases]
+The pytest suite runs the Pallas kernels in interpreter mode on CPU
+(tests/conftest.py); interpreter mode does not prove Mosaic *lowering*
+correctness. This driver compiles and runs the actual kernels on
+hardware over the full case matrix — the analog of the reference's
+on-device test suite (tests.cpp:83-307 runs everything through the GPU
+API; source.cpp:103 asserts roundtrip every benchmark iteration).
+
+Paths exercised per case:
+  api_enc / api_dec  — public WahCodec (fused Pallas encode + decode)
+  fused              — single-kernel encode variant (encode_padded_fused)
+  native             — C++ host codec (when built)
+Plus section runs:
+  batch              — compress_batch/decompress_batch (lax.map Pallas)
+  logical            — compressed-domain and/or/xor/andnot
+  sharded            — ShardedCodec on a 1-device TPU mesh (compiles the
+                       Pallas-under-shard_map branch of parallel/dist.py)
+
+Emits a JSON artifact (default TPU_DIFF.json) with per-case verdicts:
+    python tests/tpu_differential.py [--out TPU_DIFF.json] [--quick]
 """
 from __future__ import annotations
 
+import argparse
+import json
+import pathlib
 import sys
+import time
 
 import numpy as np
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-def main(n_cases: int = 12) -> None:
+
+def _bernoulli(n, density, seed):
+    g = np.random.default_rng(seed)
+    bits = g.random((n, 32)) < density
+    return (
+        np.packbits(bits, axis=1, bitorder="little").view(np.uint32).reshape(-1)
+    )
+
+
+def _clustered(n, seed, a):
+    g = np.random.default_rng(seed)
+    total = n * 32
+    bits = np.zeros(total, np.uint8)
+    pos, val = 0, 0
+    while pos < total:
+        ln = max(1, min(int(g.zipf(a)) * 31, total - pos))
+        bits[pos : pos + ln] = val
+        pos += ln
+        val ^= 1
+    return np.packbits(bits, bitorder="little").view(np.uint32)[:n]
+
+
+def _alternating(n, period_chunks):
+    # alternating zero/one runs of `period_chunks` 31-bit chunks
+    nchunks = (n * 32) // 31 + 1
+    chunk_vals = (np.arange(nchunks) // period_chunks) % 2
+    bits = np.repeat(chunk_vals, 31).astype(np.uint8)[: n * 32]
+    return np.packbits(bits, bitorder="little").view(np.uint32)[:n]
+
+
+def _wandering_literal(n_blocks, BLOCK_INTS):
+    # one set bit sliding through each 31-int group (reference
+    # tests.cpp:33-39 pattern, extended across blocks)
+    n = n_blocks * BLOCK_INTS
+    data = np.zeros(n, np.uint32)
+    for i in range(n):
+        data[i] = np.uint32(1) << (i % 31)
+    return data
+
+
+def build_cases(BLOCK_INTS, quick=False):
+    NB = 40  # main size: 40 blocks (~5 MB), bucket 64
+    n = NB * BLOCK_INTS
+    cases = [
+        ("sparse_2^-16", _bernoulli(n, 2.0**-16, 1)),
+        ("mid_2^-4", _bernoulli(n, 2.0**-4, 2)),
+        ("dense_0.5", _bernoulli(n, 0.5, 3)),
+        ("very_dense_0.999", _bernoulli(n, 0.999, 4)),
+        ("sparse_2^-10", _bernoulli(n, 2.0**-10, 5)),
+        ("clustered_zipf1.5", _clustered(n, 6, 1.5)),
+        ("clustered_zipf1.1", _clustered(n, 7, 1.1)),
+        ("all_zeros", np.zeros(n, np.uint32)),
+        ("all_ones", np.full(n, 0xFFFFFFFF, np.uint32)),
+        ("alt_64chunk", _alternating(n, 64)),
+        ("alt_1chunk", _alternating(n, 1)),
+        ("wandering_literal", _wandering_literal(NB, BLOCK_INTS)),
+        ("ones_spikes_in_zeros",
+         np.where(np.random.default_rng(8).random(n) < 0.01,
+                  np.uint32(0xFFFFFFFF), np.uint32(0))),
+        ("zero_spikes_in_ones",
+         np.where(np.random.default_rng(9).random(n) < 0.01,
+                  np.uint32(0), np.uint32(0xFFFFFFFF))),
+        # non-block / non-warp multiples (defined-padding semantics)
+        ("odd_nonblock", _bernoulli(17 * BLOCK_INTS + 345, 0.1, 10)),
+        ("odd_nonwarp", _bernoulli(20 * BLOCK_INTS + 17, 0.03, 11)),
+        ("single_trailing_bit",
+         np.concatenate([np.zeros(n - 1, np.uint32),
+                         np.array([0x80000000], np.uint32)])),
+        ("single_leading_bit",
+         np.concatenate([np.array([1], np.uint32),
+                         np.zeros(n - 1, np.uint32)])),
+        ("tiny_4ints", np.array([0x1, 0, 0, 0xFFFFFFFF], np.uint32)),
+        ("tiny_31ints", _bernoulli(31, 0.2, 12)),
+        ("block_seam_runs", _alternating(n, 1024)),  # max-length fills
+        ("near_block_seam", _alternating(n, 1023)),
+    ]
+    if quick:
+        cases = cases[:6]
+    return cases
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="TPU_DIFF.json")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args(argv)
+
     import jax
 
     from wah_tpu import WahCodec, golden, native
     from wah_tpu.constants import BLOCK_CHUNKS, BLOCK_INTS
     from wah_tpu.golden import chunk_count
-    from wah_tpu.ops.pallas import decode_kernel, encode_kernel
+    from wah_tpu.ops.pallas import encode_kernel
 
-    assert jax.default_backend() != "cpu", "needs a TPU backend"
-    rng = np.random.default_rng(20260817)
+    backend = jax.default_backend()
+    assert backend != "cpu", "needs a TPU backend"
     codec = WahCodec()  # auto -> pallas
-
+    t0 = time.time()
+    report = {
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "cases": [],
+        "sections": {},
+    }
     fails = 0
-    for case in range(n_cases):
-        kind = case % 4
-        n = int(rng.integers(1, 40)) * BLOCK_INTS + int(rng.integers(0, 992))
-        if kind == 0:
-            data = (rng.random(n) < rng.choice([0.5, 0.05, 0.001])).astype(
-                np.uint32
-            )
-        elif kind == 1:
-            data = np.zeros(n, np.uint32)
-            data[rng.integers(0, n, size=max(1, n // 100))] = 0xFFFFFFFF
-        elif kind == 2:
-            data = np.full(n, 0xFFFFFFFF, np.uint32)
-            data[rng.integers(0, n, size=max(1, n // 100))] = 0
-        else:
-            # long alternating runs crossing block seams
-            bits = np.zeros(n * 32, np.uint8)
-            pos, val = 0, 1
-            while pos < n * 32:
-                ln = int(rng.integers(31, 200000))
-                bits[pos : pos + ln] = val
-                val ^= 1
-                pos += ln
-            data = np.packbits(bits, bitorder="little").view(np.uint32)[:n]
 
+    def record(name, checks, extra=None):
+        nonlocal fails
+        ok = all(checks.values())
+        fails += not ok
+        row = {"case": name, "ok": ok, **checks}
+        if extra:
+            row.update(extra)
+        report["cases"].append(row)
+        print(
+            f"{'ok ' if ok else 'FAIL'} {name:24s} "
+            + " ".join(f"{k}={v}" for k, v in checks.items()),
+            flush=True,
+        )
+
+    # ---- single-stream matrix -------------------------------------------
+    for name, data in build_cases(BLOCK_INTS, args.quick):
+        n = len(data)
         ref = golden.encode(data)
-
-        # path 1: public API (pallas kernels under the hood)
         stream, _ = codec.compress(data)
-        ok1 = np.array_equal(stream, ref)
         out, _ = codec.decompress(stream, out_ints=n)
-        ok2 = np.array_equal(out, data)
 
-        # path 2: fused single-kernel encode
         nv = chunk_count(n)
         nb = -(-nv // BLOCK_CHUNKS)
         padded = np.zeros(nb * BLOCK_INTS, np.uint32)
@@ -65,25 +167,88 @@ def main(n_cases: int = 12) -> None:
         w3, t3 = jax.jit(encode_kernel.encode_padded_fused)(
             padded, np.int32(nv)
         )
-        ok3 = np.array_equal(np.asarray(w3)[: int(t3)], ref)
+        checks = {
+            "api_enc": bool(np.array_equal(stream, ref)),
+            "api_dec": bool(np.array_equal(out, data)),
+            "fused": bool(np.array_equal(np.asarray(w3)[: int(t3)], ref)),
+            "native": (not native.available())
+            or bool(np.array_equal(native.encode(data), ref)),
+        }
+        record(name, checks, {"n_ints": n, "words": len(ref)})
 
-        # path 3: native C++ host codec
-        ok4 = (not native.available()) or np.array_equal(
-            native.encode(data), ref
-        )
+    # ---- batched columns (bitmap-index workload) ------------------------
+    cols = np.stack(
+        [
+            _bernoulli(8 * BLOCK_INTS, d, 20 + i)
+            for i, d in enumerate([2.0**-12, 2.0**-4, 0.5, 0.0, 1.0, 0.01])
+        ]
+    ).astype(np.uint32)
+    cols[3, :] = 0
+    cols[4, :] = 0xFFFFFFFF
+    words_b, totals_b = codec.compress_batch(cols)
+    bok = all(
+        np.array_equal(words_b[c, : totals_b[c]], golden.encode(cols[c]))
+        for c in range(cols.shape[0])
+    )
+    outs_b = codec.decompress_batch(words_b, totals_b, out_ints=cols.shape[1])
+    record(
+        "batch_6cols",
+        {"batch_enc": bool(bok),
+         "batch_dec": bool(np.array_equal(outs_b, cols))},
+    )
 
-        status = all([ok1, ok2, ok3, ok4])
-        fails += not status
-        print(
-            f"case {case:2d} kind={kind} n={n:8d} words={len(ref):7d} "
-            f"api_enc={ok1} api_dec={ok2} fused={ok3} native={ok4}",
-            flush=True,
-        )
+    # ---- compressed-domain logical ops ----------------------------------
+    a = _bernoulli(8 * BLOCK_INTS, 0.05, 30)
+    b = _clustered(8 * BLOCK_INTS, 31, 1.4)
+    sa, sb = golden.encode(a), golden.encode(b)
+    lchecks = {}
+    for op, npop in [
+        ("and", np.bitwise_and),
+        ("or", np.bitwise_or),
+        ("xor", np.bitwise_xor),
+        ("andnot", lambda x, y: x & ~y),
+    ]:
+        got = codec.logical(sa, sb, op, n_ints=len(a))
+        want = golden.encode(npop(a, b).astype(np.uint32))
+        lchecks[op] = bool(np.array_equal(got, want))
+    record("logical_ops", lchecks)
 
+    # ---- sharded codec on a 1-device TPU mesh ---------------------------
+    # Compiles the Pallas-kernels-under-shard_map branch of
+    # parallel/dist.py (dead code in every CPU-mesh check).
+    from wah_tpu.parallel import ShardedCodec, make_mesh
+
+    sc = ShardedCodec(make_mesh(jax.devices()[:1]))
+    schecks = {}
+    for sname, sdata in [
+        ("sparse", _bernoulli(16 * BLOCK_INTS, 2.0**-8, 40)),
+        ("dense", _bernoulli(16 * BLOCK_INTS, 0.5, 41)),
+        ("clustered", _clustered(16 * BLOCK_INTS, 42, 1.3)),
+    ]:
+        sref = golden.encode(sdata)
+        sstream = sc.compress(sdata)
+        sout = sc.decompress(sstream, out_ints=len(sdata))
+        schecks[f"enc_{sname}"] = bool(np.array_equal(sstream, sref))
+        schecks[f"dec_{sname}"] = bool(np.array_equal(sout, sdata))
+    record("sharded_1dev_mesh", schecks)
+
+    # ---- summary --------------------------------------------------------
+    n_cases = len(report["cases"])
+    report["summary"] = {
+        "total_cases": n_cases,
+        "failed": fails,
+        "elapsed_s": round(time.time() - t0, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(
+        f"{n_cases - fails}/{n_cases} differential cases bit-exact "
+        f"({report['summary']['elapsed_s']} s) -> {args.out}",
+        flush=True,
+    )
     if fails:
-        sys.exit(f"{fails}/{n_cases} differential cases FAILED")
-    print(f"all {n_cases} differential cases bit-exact across paths")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 12)
+    main()

@@ -79,6 +79,69 @@ def cummax_lanes(x, nbits: int, neutral, col=None):
     return x
 
 
+# -- 2-D decomposed scans ----------------------------------------------------
+# A roll by k < 128 over a W-lane axis crosses native 128-lane register
+# boundaries (2-3 instructions per register); decomposing the scan into
+# 128-lane segments (7 in-register steps) + a sublane-axis scan of the
+# per-segment totals keeps every lane roll inside one register and turns
+# the combine into cheap sublane rolls. Same op count, cheaper ops.
+# Requires an in-kernel (B, W) <-> (B, W//128, 128) relayout (supported
+# by Mosaic; its cost is why this is selected by measurement, see
+# benchmarks/micro.py).
+
+def _seg_view(x):
+    B, W = x.shape
+    assert W % 128 == 0, W
+    return x.reshape(B, W // 128, 128)
+
+
+def cumsum_lanes_wide(x):
+    """Inclusive prefix sum along the last axis of (B, W), W % 128 == 0,
+    via the 128-segment decomposition."""
+    B, W = x.shape
+    G = W // 128
+    y = _seg_view(x)
+    c = lane_iota(y.shape)
+    zero = jnp.zeros((), x.dtype)
+    for b in range(7):
+        k = 1 << b
+        y = y + jnp.where(c >= k, pltpu.roll(y, shift=k, axis=2), zero)
+    tot = y[:, :, 127:128]  # (B, G, 1) per-segment totals
+    ri = jax.lax.broadcasted_iota(jnp.int32, (B, G, 1), 1)
+    acc = tot
+    k = 1
+    while k < G:
+        acc = acc + jnp.where(ri >= k, pltpu.roll(acc, shift=k, axis=1), zero)
+        k <<= 1
+    y = y + (acc - tot)  # add exclusive segment prefix, broadcast on lanes
+    return y.reshape(B, W)
+
+
+def cummax_lanes_wide(x, neutral):
+    """Inclusive prefix max along the last axis of (B, W), decomposed."""
+    B, W = x.shape
+    G = W // 128
+    y = _seg_view(x)
+    c = lane_iota(y.shape)
+    for b in range(7):
+        k = 1 << b
+        y = jnp.maximum(
+            y, jnp.where(c >= k, pltpu.roll(y, shift=k, axis=2), neutral)
+        )
+    tot = y[:, :, 127:128]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (B, G, 1), 1)
+    acc = tot
+    k = 1
+    while k < G:
+        acc = jnp.maximum(
+            acc,
+            jnp.where(ri >= k, pltpu.roll(acc, shift=k, axis=1), neutral),
+        )
+        k <<= 1
+    excl = jnp.where(ri >= 1, pltpu.roll(acc, shift=1, axis=1), neutral)
+    return jnp.maximum(y, excl).reshape(B, W)
+
+
 def compact_lanes(vals, ok, d, nbits: int):
     """Move element i LEFT by d[i] lanes (monotone routing, LSB->MSB).
 

@@ -37,7 +37,14 @@ from ...constants import (
     LEN_MASK,
     ONES31,
 )
-from .common import cummax_lanes, cumsum_lanes, lane_iota, shift_right
+from .common import (
+    cummax_lanes,
+    cummax_lanes_wide,
+    cumsum_lanes,
+    cumsum_lanes_wide,
+    lane_iota,
+    shift_right,
+)
 
 __all__ = ["decode"]
 
@@ -58,6 +65,22 @@ _T_ONES = 2  # cummax key type code for the all-ones filler
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+# see encode_kernel.WIDE_SCANS (same measured selection)
+WIDE_SCANS = _os.environ.get("WAH_WIDE_SCANS", "1") != "0"
+
+
+def _cumsum(x, nbits: int, col):
+    if WIDE_SCANS:
+        return cumsum_lanes_wide(x)
+    return cumsum_lanes(x, nbits, col)
+
+
+def _cummax(x, nbits: int, neutral, col):
+    if WIDE_SCANS:
+        return cummax_lanes_wide(x, neutral)
+    return cummax_lanes(x, nbits, neutral, col)
 
 
 def _merge_masks():
@@ -124,7 +147,7 @@ def _decode_body(
     is_fill_w = (win & _U(BIT31)) != 0
     cnt = jnp.where(is_fill_w, (win & _U(LEN_MASK)).astype(_I), _I(1))
     cnt = jnp.where(idx < m, cnt, _I(0))
-    off = coff_ref[:] + cumsum_lanes(cnt, 11, colw) - cnt
+    off = coff_ref[:] + _cumsum(cnt, 11, colw) - cnt
 
     rel = off - base_w
     ok = (rel < L) & (rel + cnt > 0) & (idx < m)
@@ -177,7 +200,7 @@ def _decode_body(
     t_d = jnp.where(val_d == _U(ONES31), _I(_T_ONES), _I(1))
     key_d = jnp.where(ok_d, (col << 2) | t_d, _I(0))
 
-    cm = cummax_lanes(key_d, 10, _I(0), col)
+    cm = _cummax(key_d, 10, _I(0), col)
     is_start = (cm >> 2) == col
     covered_ones = (cm & 3) == _I(_T_ONES)
     chunks = jnp.where(

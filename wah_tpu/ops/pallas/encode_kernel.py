@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ...constants import BIT31, BIT3130, BLOCK_CHUNKS, BLOCK_INTS, ONES31
 from .common import (
     cummax_lanes,
+    cummax_lanes_wide,
     cumsum_lanes,
+    cumsum_lanes_wide,
     lane_iota,
     shift_left,
     shift_right,
@@ -65,6 +67,25 @@ W = 2 * L  # pending-window lanes
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+# 2-D decomposed scans (common.cumsum_lanes_wide): every lane roll stays
+# inside one 128-lane register. Selected by measurement on v5e
+# (benchmarks/micro.py); WAH_WIDE_SCANS=0 reverts to flat 1024-lane
+# Hillis-Steele scans.
+WIDE_SCANS = _os.environ.get("WAH_WIDE_SCANS", "1") != "0"
+
+
+def _cumsum(x, nbits: int, col):
+    if WIDE_SCANS:
+        return cumsum_lanes_wide(x)
+    return cumsum_lanes(x, nbits, col)
+
+
+def _cummax(x, nbits: int, neutral, col):
+    if WIDE_SCANS:
+        return cummax_lanes_wide(x, neutral)
+    return cummax_lanes(x, nbits, neutral, col)
 
 
 def _repart_masks():
@@ -135,14 +156,14 @@ def _encode_body(nv_ref, masks_ref, ints_ref, staging_ref, counts_ref):
     # into two block-wide scans) --------------------------------------
     prev_t = shift_right(t, 1, _I(-1), col)
     start = v & ((t != prev_t) | (t == _I(2)))
-    incl = cumsum_lanes(start.astype(_I), 10, col)
+    incl = _cumsum(start.astype(_I), 10, col)
     widx = incl - 1
     counts_ref[:] = incl[:, L - 1 : L]
 
     nv_next = shift_left(v, 1, False, col)
     end = v & (shift_left(start, 1, True, col) | ~nv_next)
 
-    run_start = cummax_lanes(jnp.where(start, col, _I(-1)), 10, _I(-1), col)
+    run_start = _cummax(jnp.where(start, col, _I(-1)), 10, _I(-1), col)
     run_len = (col - run_start + 1).astype(_U)
 
     # --- emit words (reference: kernels.cu:237-259) -------------------
@@ -423,14 +444,14 @@ def _fused_body(
 
     prev_t = shift_right(t, 1, _I(-1), col)
     start = v & ((t != prev_t) | (t == _I(2)))
-    incl = cumsum_lanes(start.astype(_I), 10, col)
+    incl = _cumsum(start.astype(_I), 10, col)
     widx = incl - 1
     cnt_col = incl[:, L - 1 : L]  # (B, 1)
     counts_ref[:] = cnt_col
 
     nv_next = shift_left(v, 1, False, col)
     end = v & (shift_left(start, 1, True, col) | ~nv_next)
-    run_start = cummax_lanes(jnp.where(start, col, _I(-1)), 10, _I(-1), col)
+    run_start = _cummax(jnp.where(start, col, _I(-1)), 10, _I(-1), col)
     run_len = (col - run_start + 1).astype(_U)
     value = jnp.where(
         t == _I(2),
