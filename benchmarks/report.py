@@ -43,14 +43,24 @@ HEADER = [
 
 def generate_random_data(n_ints: int, every_n: int, seed: int = 1337) -> np.ndarray:
     """Bernoulli bitmap with P(bit set) = 1/every_n (reference
-    generateRandomData, tests.cpp:42-64, fixed seed 1337)."""
+    generateRandomData, tests.cpp:42-64, fixed seed 1337).
+
+    Generated in slabs: the naive (n, 32) int64 draw would need ~66 GB
+    for the 992 MB sweep config. PCG64 consumes its bit stream value by
+    value, so slab-wise draws produce the identical bitmap (pinned by
+    tests/test_report.py)."""
     rng = np.random.default_rng(seed)
-    bits = rng.integers(0, every_n, size=(n_ints, 32), dtype=np.int64) == 0
-    return (
-        np.packbits(bits.astype(np.uint8), axis=1, bitorder="little")
-        .view(np.uint32)
-        .reshape(-1)
-    )
+    out = np.empty(n_ints, dtype=np.uint32)
+    slab = 1 << 21
+    for lo in range(0, n_ints, slab):
+        hi = min(lo + slab, n_ints)
+        bits = rng.integers(0, every_n, size=(hi - lo, 32), dtype=np.int64) == 0
+        out[lo:hi] = (
+            np.packbits(bits.astype(np.uint8), axis=1, bitorder="little")
+            .view(np.uint32)
+            .reshape(-1)
+        )
+    return out
 
 
 def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):

@@ -38,3 +38,21 @@ def test_report_density_affects_ratio(tmp_path):
     by_density = {float(r[3]): float(r[4]) for r in rows}
     dense, sparse = by_density[2.0 ** -2], by_density[2.0 ** -12]
     assert sparse < dense  # sparser bitmaps compress better
+
+
+def test_generate_random_data_slab_invariance():
+    """Slab-chunked generation must equal the monolithic draw (the old
+    code path) so committed sweep results stay comparable."""
+    import numpy as np
+
+    from benchmarks.report import generate_random_data
+
+    n = (1 << 21) + 12345  # crosses one slab boundary
+    rng = np.random.default_rng(1337)
+    bits = rng.integers(0, 16, size=(n, 32), dtype=np.int64) == 0
+    want = (
+        np.packbits(bits.astype(np.uint8), axis=1, bitorder="little")
+        .view(np.uint32)
+        .reshape(-1)
+    )
+    np.testing.assert_array_equal(generate_random_data(n, 16), want)
