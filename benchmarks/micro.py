@@ -48,7 +48,7 @@ def amortized(loop_fn, dev_args, K, reps=3):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nb", type=int, default=32768)
-    ap.add_argument("--density", type=float, default=2.0**-4)
+    ap.add_argument("--density", type=float, nargs="+", default=[2.0**-4])
     ap.add_argument("--which", default="enc2,encf,tiles,dec")
     ap.add_argument("-K", type=int, default=5)
     args = ap.parse_args()
@@ -62,19 +62,10 @@ def main() -> None:
     from wah_tpu.ops.pallas import decode_kernel, encode_kernel
 
     nb = args.nb
-    data = _bitmap(nb, args.density)
-    n = len(data)
-    nv = np.int32(chunk_count(n))
-    nbytes = data.nbytes
-    dev = jax.device_put(data)
     which = args.which.split(",")
 
-    def report(name, secs, nbytes_=None):
-        b = nbytes_ or nbytes
-        print(
-            f"{name:10s} {secs*1e3:8.3f} ms  {b/secs/1e9:7.2f} GB/s",
-            flush=True,
-        )
+    from wah_tpu import golden
+    from wah_tpu.ops.pallas.stitch2 import stitch_tiles_v2
 
     def enc_loop(enc):
         @partial(jax.jit, static_argnums=(2,))
@@ -87,70 +78,76 @@ def main() -> None:
 
         return loop
 
-    if "enc2" in which:
-        report(
-            "enc2",
-            amortized(enc_loop(encode_kernel.encode_padded), (dev, nv), args.K),
+    def enc_v2(ints, nvv, B=None):
+        nb_ = ints.shape[0] // BLOCK_INTS
+        st, cnt = encode_kernel.encode_tiles(
+            ints.reshape(nb_, BLOCK_INTS),
+            jnp.stack([nvv, jnp.int32(0)]),
         )
-    if "encf" in which:
-        report(
-            "encf",
-            amortized(
-                enc_loop(encode_kernel.encode_padded_fused), (dev, nv), args.K
-            ),
+        counts = cnt[:, 0]
+        offsets_ext = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
         )
-    if "tiles" in which:
-        # block encoder alone (no stitch): staging + counts
-        @partial(jax.jit, static_argnums=(2,))
-        def tiles_loop(ints, nvv, K):
-            ints2d = ints.reshape(nb, BLOCK_INTS)
+        return stitch_tiles_v2(st, offsets_ext, B), offsets_ext[-1]
 
-            def body(i, acc):
-                st, cnt = encode_kernel.encode_tiles(
-                    ints2d, jnp.stack([nvv - (acc & 1), jnp.int32(0)])
-                )
-                return acc + cnt[0, 0] + st[0, 0].astype(jnp.int32)
+    @partial(jax.jit, static_argnums=(2,))
+    def tiles_loop(ints, nvv, K):
+        ints2d = ints.reshape(nb, BLOCK_INTS)
 
-            return lax.fori_loop(0, K, body, jnp.int32(0))
-
-        report("tiles", amortized(tiles_loop, (dev, nv), args.K))
-    if "encv2" in which:
-        # two-kernel encode with the branchless v2 stitch
-        from wah_tpu.ops.pallas.stitch2 import stitch_tiles_v2
-
-        def enc_v2(ints, nvv):
-            nb_ = ints.shape[0] // BLOCK_INTS
+        def body(i, acc):
             st, cnt = encode_kernel.encode_tiles(
-                ints.reshape(nb_, BLOCK_INTS),
-                jnp.stack([nvv, jnp.int32(0)]),
+                ints2d, jnp.stack([nvv - (acc & 1), jnp.int32(0)])
             )
-            counts = cnt[:, 0]
-            offsets_ext = jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+            return acc + cnt[0, 0] + st[0, 0].astype(jnp.int32)
+
+        return lax.fori_loop(0, K, body, jnp.int32(0))
+
+    cap = nb * 1024
+
+    @partial(jax.jit, static_argnums=(2,))
+    def dec_loop(words, mm, K):
+        def body(i, acc):
+            ints, _ = decode_kernel.decode(words, mm - (acc & 1), cap)
+            return acc + ints[1].astype(jnp.int32)
+
+        return lax.fori_loop(0, K, body, jnp.int32(0))
+
+    loops = {
+        "enc2": enc_loop(encode_kernel.encode_padded),
+        "encf": enc_loop(encode_kernel.encode_padded_fused),
+        "encv2": enc_loop(enc_v2),
+        "encv2b": enc_loop(lambda i, nvv: enc_v2(i, nvv, 512)),
+        "encv2c": enc_loop(lambda i, nvv: enc_v2(i, nvv, 1024)),
+    }
+
+    for density in args.density:
+        data = _bitmap(nb, density)
+        n = len(data)
+        nv = np.int32(chunk_count(n))
+        nbytes = data.nbytes
+        dev = jax.device_put(data)
+        print(f"--- density {density:g} ---", flush=True)
+
+        def report(name, secs, nbytes_=None):
+            b = nbytes_ or nbytes
+            print(
+                f"{name:10s} {secs*1e3:8.3f} ms  {b/secs/1e9:7.2f} GB/s",
+                flush=True,
             )
-            return stitch_tiles_v2(st, offsets_ext), offsets_ext[-1]
 
-        report("encv2", amortized(enc_loop(enc_v2), (dev, nv), args.K))
-    if "dec" in which:
-        from wah_tpu import golden
-
-        stream = golden.encode(data)
-        m = np.int32(len(stream))
-        M = -(-len(stream) // 1024) * 1024
-        padded = np.zeros(M, np.uint32)
-        padded[: len(stream)] = stream
-        cap = nb * 1024
-        sdev = jax.device_put(padded)
-
-        @partial(jax.jit, static_argnums=(2,))
-        def dec_loop(words, mm, K):
-            def body(i, acc):
-                ints, _ = decode_kernel.decode(words, mm - (acc & 1), cap)
-                return acc + ints[1].astype(jnp.int32)
-
-            return lax.fori_loop(0, K, body, jnp.int32(0))
-
-        report("dec", amortized(dec_loop, (sdev, m), args.K))
+        for name in ("enc2", "encf", "encv2", "encv2b", "encv2c"):
+            if name in which:
+                report(name, amortized(loops[name], (dev, nv), args.K))
+        if "tiles" in which:
+            report("tiles", amortized(tiles_loop, (dev, nv), args.K))
+        if "dec" in which:
+            stream = golden.encode(data)
+            m = np.int32(len(stream))
+            M = cap + 1024  # fixed bucket: no recompile across densities
+            padded = np.zeros(M, np.uint32)
+            padded[: len(stream)] = stream
+            sdev = jax.device_put(padded)
+            report("dec", amortized(dec_loop, (sdev, m), args.K))
 
 
 if __name__ == "__main__":

@@ -67,8 +67,8 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-# see encode_kernel.WIDE_SCANS (same measured selection)
-WIDE_SCANS = _os.environ.get("WAH_WIDE_SCANS", "1") != "0"
+# see encode_kernel.WIDE_SCANS (same measured selection: flat wins)
+WIDE_SCANS = _os.environ.get("WAH_WIDE_SCANS", "0") == "1"
 
 
 def _cumsum(x, nbits: int, col):

@@ -69,11 +69,12 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-# 2-D decomposed scans (common.cumsum_lanes_wide): every lane roll stays
-# inside one 128-lane register. Selected by measurement on v5e
-# (benchmarks/micro.py); WAH_WIDE_SCANS=0 reverts to flat 1024-lane
-# Hillis-Steele scans.
-WIDE_SCANS = _os.environ.get("WAH_WIDE_SCANS", "1") != "0"
+# 2-D decomposed scans (common.cumsum_lanes_wide) measured SLOWER on
+# v5e than the flat Hillis-Steele forms (benchmarks/micro.py, 130 MB
+# density 2^-4: tiles 4.21 ms wide vs 3.08 ms flat; decode 10.43 vs
+# 9.28) — the (B, W) <-> (B, W//128, 128) relayouts cost more than the
+# cross-register rolls they avoid. Kept opt-in via WAH_WIDE_SCANS=1.
+WIDE_SCANS = _os.environ.get("WAH_WIDE_SCANS", "0") == "1"
 
 
 def _cumsum(x, nbits: int, col):
@@ -386,6 +387,14 @@ def stitch_tiles(staging: jnp.ndarray, offsets_ext: jnp.ndarray) -> jnp.ndarray:
 
 # ---------------------------------------------------------------------------
 # fully fused encode+stitch (single sequential kernel)
+#
+# DEMOTED to a test-only reference: measured on v5e (benchmarks/micro.py,
+# 130 MB density 2^-4) at 14.4 ms vs 8.5 ms for the two-kernel path and
+# 7.2 ms with the v2 stitch — the fully sequential grid forfeits the
+# parallel block-encode phase. Kept because it is a structurally
+# independent implementation of the whole pipeline (valuable as a
+# differential cross-check in tests/tpu_differential.py), NOT an API
+# path: WahCodec never selects it.
 # ---------------------------------------------------------------------------
 
 def _sublane_excl_cumsum(x, rows: int):
@@ -639,5 +648,17 @@ def encode_padded(
         [jnp.zeros((1,), _I), jnp.cumsum(counts, dtype=_I)]
     )
     total = offsets_ext[-1]
-    words = stitch_tiles(staging, offsets_ext)
+    # density-adaptive stitch (measured on v5e, benchmarks/micro.py,
+    # 130 MB): the v1 accumulator's cost scales with flush count (5.7 ms
+    # sparse -> 10.3 ms dense) while the branchless v2 RMW stitch is
+    # constant (~7.1 ms); select on the compressed ratio.
+    from .stitch2 import stitch_tiles_v2
+
+    nbp2 = staging.shape[0]
+    words = jax.lax.cond(
+        total * 8 > _I(nbp2 * L * 3),
+        lambda args: stitch_tiles_v2(*args),
+        lambda args: stitch_tiles(*args),
+        (staging, offsets_ext),
+    )
     return words[: nb * L], total
