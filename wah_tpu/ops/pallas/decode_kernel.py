@@ -20,7 +20,10 @@ DMAs the TWO aligned 1024-word tiles starting at its row, reconstructs
 word offsets locally (in-window count scan + the row's base offset),
 finds its first covering word with a row-min, rotates the window into
 phase, and expands. Mosaic DMA slices must be tile-aligned, which is
-why windows are whole tiles from a (T, 8, 128) view.
+why windows are whole tiles from a (T, 8, 128) view; and because the
+covering row advances at most one per output block, ONE bulk
+(B+2)-tile DMA per grid step covers all B windows (per-row DMA issue
+cost dominated the first version of this kernel).
 """
 from __future__ import annotations
 
@@ -117,23 +120,26 @@ def _rotate_left_rows(x, s, nbits: int):
 
 
 def _decode_body(
-    r_ref, meta_ref, words_ref, mmasks_ref, rcol_ref, coff_ref,
-    ints_ref, wscr, sems
+    r_ref, meta_ref, rbase_ref, words_ref, mmasks_ref, rcol_ref, coff_ref,
+    ints_ref, wbulk, wscr, sem
 ):
     pid = pl.program_id(0)
     B = ints_ref.shape[0]
 
-    def dma(r):
-        t0 = r_ref[pid * B + r]
-        return pltpu.make_async_copy(
-            words_ref.at[pl.ds(t0, 2)], wscr.at[pl.ds(2 * r, 2)],
-            sems.at[r],
-        )
-
+    # ONE bulk DMA covers every window of the step: the covering row
+    # advances at most 1 per output block (a block's window is <= 1024
+    # words), so the step's B windows live in [rbase, rbase + B + 2).
+    # Replaces B per-row 2-tile DMAs, whose issue cost dominated the
+    # decode step (measured: the per-row-DMA kernel ran ~36 us/step).
+    rb = rbase_ref[pid]
+    cp = pltpu.make_async_copy(
+        words_ref.at[pl.ds(rb, B + 2)], wbulk, sem
+    )
+    cp.start()
+    cp.wait()
     for r in range(B):
-        dma(r).start()
-    for r in range(B):
-        dma(r).wait()
+        t0 = r_ref[pid * B + r] - rb
+        wscr[pl.ds(2 * r, 2)] = wbulk[pl.ds(t0, 2)]
 
     win = wscr[...].reshape(B, W)
     colw = lane_iota((B, W))
@@ -270,31 +276,33 @@ def decode(
     r_arr = jnp.maximum(jax.lax.cummax(A), 0)
     coff_arr = jnp.take(row_base, r_arr, fill_value=0)
 
-    # pad the stream to whole tiles + one extra tile so every 2-tile
-    # window DMA is in bounds, then view as (T, 8, 128) tiles
-    words_t = jnp.concatenate([wpad, jnp.zeros((L,), _U)]).reshape(
-        -1, 8, 128
-    )
+    # pad the stream so every step's bulk window [rbase, rbase + B + 2)
+    # is in bounds, then view as (T, 8, 128) tiles
+    words_t = jnp.concatenate(
+        [wpad, jnp.zeros(((B + 2) * L,), _U)]
+    ).reshape(-1, 8, 128)
+    rbase = r_arr[::B]  # (nsteps,) first covering row per step
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nbo_p // B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((5, L), lambda i, r, mt: (0, 0),
+            pl.BlockSpec((5, L), lambda i, r, mt, rb: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i, r, mt: (i, 0),
+            pl.BlockSpec((B, 1), lambda i, r, mt, rb: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i, r, mt: (i, 0),
+            pl.BlockSpec((B, 1), lambda i, r, mt, rb: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, BLOCK_INTS), lambda i, r, mt: (i, 0),
+            pl.BlockSpec((B, BLOCK_INTS), lambda i, r, mt, rb: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
+            pltpu.VMEM((B + 2, 8, 128), _U),
             pltpu.VMEM((2 * B, 8, 128), _U),
-            pltpu.SemaphoreType.DMA((B,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     meta = jnp.stack([n_chunks, m, jnp.asarray(chunk_base, dtype=_I)])
@@ -309,6 +317,7 @@ def decode(
     )(
         r_arr,
         meta,
+        rbase,
         words_t,
         jnp.asarray(_MERGE_MASKS),
         r_arr.reshape(nbo_p, 1),
