@@ -140,14 +140,69 @@ def main() -> None:
                 report(name, amortized(loops[name], (dev, nv), args.K))
         if "tiles" in which:
             report("tiles", amortized(tiles_loop, (dev, nv), args.K))
-        if "dec" in which:
+        if "dec" in which or "decs" in which or "decpre" in which:
             stream = golden.encode(data)
             m = np.int32(len(stream))
+        if "dec" in which:
             M = cap + 1024  # fixed bucket: no recompile across densities
             padded = np.zeros(M, np.uint32)
             padded[: len(stream)] = stream
             sdev = jax.device_put(padded)
             report("dec", amortized(dec_loop, (sdev, m), args.K))
+        if "decpre" in which:
+            # XLA prescan alone (decode() lines before the pallas_call)
+            Ms = -(-len(stream) // 1024) * 1024 + 1024
+            padded = np.zeros(Ms, np.uint32)
+            padded[: len(stream)] = stream
+            sdev = jax.device_put(padded)
+            L_ = 1024
+
+            @partial(jax.jit, static_argnums=(2,))
+            def pre_loop(words, mm, K):
+                from wah_tpu.constants import BIT31, LEN_MASK
+
+                def body(i, acc):
+                    m2 = mm - (acc & 1)
+                    wpad = words
+                    ii = jnp.arange(wpad.shape[0], dtype=jnp.int32)
+                    isf = (wpad & jnp.uint32(BIT31)) != 0
+                    cnts = jnp.where(
+                        isf, (wpad & jnp.uint32(LEN_MASK)).astype(jnp.int32), 1
+                    )
+                    cnts = jnp.where(ii < m2, cnts, 0)
+                    rs = jnp.sum(cnts.reshape(-1, 128), axis=1, dtype=jnp.int32)
+                    rb_ = jnp.cumsum(rs, dtype=jnp.int32) - rs
+                    nbo_p = cap // 1024
+                    slot = (rb_ + (L_ - 1)) // L_
+                    nrows = rb_.shape[0]
+                    A = (
+                        jnp.full((nbo_p + 1,), -1, jnp.int32)
+                        .at[jnp.clip(slot, 0, nbo_p)]
+                        .max(jnp.arange(nrows, dtype=jnp.int32))[:nbo_p]
+                    )
+                    r_arr = jnp.maximum(jax.lax.cummax(A), 0)
+                    coff = jnp.take(rb_, r_arr, fill_value=0)
+                    return acc + r_arr[1] + coff[1] + rb_[-1]
+
+                return lax.fori_loop(0, K, body, jnp.int32(0))
+
+            report("decpre", amortized(pre_loop, (sdev, m), args.K))
+        if "decs" in which:
+            # true-size bucket (the API path): prescan over ~m words
+            Ms = -(-len(stream) // 1024) * 1024 + 1024
+            padded = np.zeros(Ms, np.uint32)
+            padded[: len(stream)] = stream
+            sdev = jax.device_put(padded)
+
+            @partial(jax.jit, static_argnums=(2,))
+            def decs_loop(words, mm, K):
+                def body(i, acc):
+                    ints, _ = decode_kernel.decode(words, mm - (acc & 1), cap)
+                    return acc + ints[1].astype(jnp.int32)
+
+                return lax.fori_loop(0, K, body, jnp.int32(0))
+
+            report("decs", amortized(decs_loop, (sdev, m), args.K))
 
 
 if __name__ == "__main__":

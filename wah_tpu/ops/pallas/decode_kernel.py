@@ -120,40 +120,74 @@ def _rotate_left_rows(x, s, nbits: int):
 
 
 def _decode_body(
-    r_ref, meta_ref, rbase_ref, words_ref, mmasks_ref, rcol_ref, coff_ref,
-    ints_ref, wbulk, wscr, sem
+    rbase_ref, meta_ref, words_ref, rbt_ref, mmasks_ref, ints_ref,
+    wbulk, rbw, wscr, rloc_ref, rloc_s, sem, sem2
 ):
     pid = pl.program_id(0)
     B = ints_ref.shape[0]
+    m = meta_ref[1]
 
-    # ONE bulk DMA covers every window of the step: the covering row
-    # advances at most 1 per output block (a block's window is <= 1024
-    # words), so the step's B windows live in [rbase, rbase + B + 2).
-    # Replaces B per-row 2-tile DMAs, whose issue cost dominated the
-    # decode step (measured: the per-row-DMA kernel ran ~36 us/step).
+    # SELF-LOCATING: the covering 1024-word tile row advances at most 1
+    # per output block (a block's window is <= 1024 words), so ONE bulk
+    # DMA of B+2 tiles starting at this step's first covering row rb
+    # covers every window of the step. rb is a host prescan scalar (one
+    # searchsorted per STEP, not per block); the per-BLOCK covering rows
+    # come from a masked lane-max over the row_base table window DMA'd
+    # alongside — the host-side per-block scatter-max + cummax + take
+    # this replaces cost ~2.3 ms at 130 MB, a quarter of decode time.
     rb = rbase_ref[pid]
     cp = pltpu.make_async_copy(
         words_ref.at[pl.ds(rb, B + 2)], wbulk, sem
     )
     cp.start()
+    q = rb // 1024
+    cpr = pltpu.make_async_copy(rbt_ref.at[pl.ds(q, 2)], rbw, sem2)
+    cpr.start()
+    cpr.wait()
+
+    # rotate the 2048-lane row_base window so lane j == row rb + j,
+    # then find each block's covering row: max{j : row_base[j] <= base}
+    lbl = _rotate_left_rows(
+        rbw[...].reshape(1, 2048), jnp.reshape(rb % 1024, (1, 1)), 11
+    )
+    li = lane_iota((1, 2048))
+    baset = meta_ref[2] + (
+        pid * B + jax.lax.broadcasted_iota(_I, (B, 1), 0)
+    ) * L
+    okb = (lbl <= baset) & (li < B + 2)  # (B, 2048)
+    # live blocks always land in [0, B] (window advance <= 1/block);
+    # the clamp only bounds dead blocks past the stream end, whose
+    # output is masked by n_chunks below
+    r_loc = jnp.minimum(
+        jnp.max(jnp.where(okb, li, _I(0)), axis=1, keepdims=True), _I(B)
+    )
+    coff_t = jnp.max(jnp.where(okb, lbl, _I(0)), axis=1, keepdims=True)
+    rloc_ref[:, :] = r_loc
+
+    # stage the per-block rows through SMEM: a dynamic VMEM slice
+    # indexed by a VECTOR-read scalar lowers to a full-array select per
+    # row (measured: 72 MB of compile-time stack), while a scalar-core
+    # index from SMEM slices for free
+    cps = pltpu.make_async_copy(rloc_ref, rloc_s, sem2)
+    cps.start()
+    cps.wait()
     cp.wait()
     for r in range(B):
-        t0 = r_ref[pid * B + r] - rb
+        t0 = rloc_s[r, 0]
         wscr[pl.ds(2 * r, 2)] = wbulk[pl.ds(t0, 2)]
 
     win = wscr[...].reshape(B, W)
     colw = lane_iota((B, W))
     roww = jax.lax.broadcasted_iota(_I, (B, W), 0)
     base_w = meta_ref[2] + (pid * B + roww) * L
-    m = meta_ref[1]
-    idx = rcol_ref[:] * L + colw  # global word index per window lane
+    idx = (rb + r_loc) * L + colw  # global word index per window lane
 
     # in-window offset reconstruction (reference getCounts + scan,
     # kernels.cu:291-309 / decompress.cu:66-93, done per window)
     is_fill_w = (win & _U(BIT31)) != 0
     cnt = jnp.where(is_fill_w, (win & _U(LEN_MASK)).astype(_I), _I(1))
     cnt = jnp.where(idx < m, cnt, _I(0))
-    off = coff_ref[:] + _cumsum(cnt, 11, colw) - cnt
+    off = coff_t + _cumsum(cnt, 11, colw) - cnt
 
     rel = off - base_w
     ok = (rel < L) & (rel + cnt > 0) & (idx < m)
@@ -247,65 +281,71 @@ def decode(
     words = words.astype(_U)
     m = jnp.asarray(m, dtype=_I)
 
-    # row-granular prescan: expanded size per 1024-word row
+    # row-granular host prescan: per-1024-word-row expanded sizes (one
+    # fused masked pass + a small cumsum) and ONE searchsorted giving
+    # each grid STEP its first covering row. The per-BLOCK mapping —
+    # which as an XLA scatter-max + cummax + take cost ~2.3 ms at
+    # 130 MB, a quarter of decode time — happens inside the kernel from
+    # a DMA'd window of row_base (_decode_body).
     Mr = -(-M // L) * L
-    wpad = jnp.concatenate([words, jnp.zeros((Mr - M,), _U)])
-    i = jnp.arange(Mr, dtype=_I)
-    is_fill = (wpad & _U(BIT31)) != 0
-    counts = jnp.where(is_fill, (wpad & _U(LEN_MASK)).astype(_I), _I(1))
-    counts = jnp.where(i < m, counts, _I(0))
-    row_sums = jnp.sum(counts.reshape(-1, L), axis=1, dtype=_I)
+    iw = jnp.arange(M, dtype=_I)
+    is_fill = (words & _U(BIT31)) != 0
+    counts = jnp.where(is_fill, (words & _U(LEN_MASK)).astype(_I), _I(1))
+    counts = jnp.where(iw < m, counts, _I(0))
+    cpad = jnp.concatenate([counts, jnp.zeros((Mr - M,), _I)])
+    row_sums = jnp.sum(cpad.reshape(-1, L), axis=1, dtype=_I)
     row_base = jnp.cumsum(row_sums, dtype=_I) - row_sums
     n_chunks = row_base[-1] + row_sums[-1]
 
     nbo = chunk_capacity // L
     nbo_p = -(-nbo // B) * B
-    base_i = jnp.asarray(chunk_base, dtype=_I)
-    # r(t) = last word row with row_base <= chunk_base + 1024 t, i.e. the
-    # row containing block t's covering window. searchsorted over the
-    # row table costs ~3x more than this scatter-max + cummax (row r
-    # first covers block slot ceil((row_base[r] - chunk_base) / 1024);
-    # the last row claiming a slot wins, then forward-fill).
-    nrows = row_base.shape[0]
-    slot = (row_base - base_i + (L - 1)) // L
-    A = (
-        jnp.full((nbo_p + 1,), -1, _I)
-        .at[jnp.clip(slot, 0, nbo_p)]
-        .max(jnp.arange(nrows, dtype=_I))[:nbo_p]
-    )
-    r_arr = jnp.maximum(jax.lax.cummax(A), 0)
-    coff_arr = jnp.take(row_base, r_arr, fill_value=0)
+    nsteps = nbo_p // B
 
-    # pad the stream so every step's bulk window [rbase, rbase + B + 2)
-    # is in bounds, then view as (T, 8, 128) tiles
+    # pad the stream so every bulk window [rb, rb + B + 2) is in
+    # bounds, then view as (T, 8, 128) tiles
     words_t = jnp.concatenate(
-        [wpad, jnp.zeros(((B + 2) * L,), _U)]
+        [words, jnp.zeros((Mr - M + (B + 4) * L,), _U)]
     ).reshape(-1, 8, 128)
-    rbase = r_arr[::B]  # (nsteps,) first covering row per step
+    base_i = jnp.asarray(chunk_base, dtype=_I)
+    step_bases = base_i + jnp.arange(nsteps, dtype=_I) * (B * L)
+    rbase = jnp.clip(
+        jnp.searchsorted(row_base, step_bases, side="right").astype(_I)
+        - 1,
+        0,
+        _I(words_t.shape[0] - (B + 2)),
+    )
+    # row_base padded with INT32_MAX (never selected as covering) and
+    # viewed as (Tr, 1, 1024) for row-granular window DMA
+    Rr = row_base.shape[0]
+    Rp = -(-(Rr + 1024) // 1024) * 1024
+    rbt = jnp.concatenate(
+        [row_base, jnp.full((Rp - Rr,), jnp.iinfo(jnp.int32).max, _I)]
+    ).reshape(-1, 1, 1024)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nbo_p // B,),
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((5, L), lambda i, r, mt, rb: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i, r, mt, rb: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i, r, mt, rb: (i, 0),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((5, L), lambda i, rba, mt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, BLOCK_INTS), lambda i, r, mt, rb: (i, 0),
+            pl.BlockSpec((B, BLOCK_INTS), lambda i, rba, mt: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((B + 2, 8, 128), _U),
+            pltpu.VMEM((2, 1, 1024), _I),
             pltpu.VMEM((2 * B, 8, 128), _U),
+            pltpu.VMEM((B, 1), _I),
+            pltpu.SMEM((B, 1), _I),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    meta = jnp.stack([n_chunks, m, jnp.asarray(chunk_base, dtype=_I)])
+    meta = jnp.stack([n_chunks, m, base_i])
     ints2d = pl.pallas_call(
         _decode_body,
         grid_spec=grid_spec,
@@ -315,13 +355,11 @@ def decode(
         ),
         interpret=_interpret(),
     )(
-        r_arr,
-        meta,
         rbase,
+        meta,
         words_t,
+        rbt,
         jnp.asarray(_MERGE_MASKS),
-        r_arr.reshape(nbo_p, 1),
-        coff_arr.reshape(nbo_p, 1),
     )[0]
     ints = ints2d.reshape(-1)[: nbo * BLOCK_INTS]
     n_ints = (31 * n_chunks + 31) // 32
