@@ -140,6 +140,64 @@ def main() -> None:
                 report(name, amortized(loops[name], (dev, nv), args.K))
         if "tiles" in which:
             report("tiles", amortized(tiles_loop, (dev, nv), args.K))
+        if "stv1" in which or "stv2" in which:
+            # stitch alone: staging/offsets precomputed once on device
+            @jax.jit
+            def mk(ints, nvv):
+                st, cnt = encode_kernel.encode_tiles(
+                    ints.reshape(nb, BLOCK_INTS),
+                    jnp.stack([nvv, jnp.int32(0)]),
+                )
+                off = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32),
+                     jnp.cumsum(cnt[:, 0], dtype=jnp.int32)]
+                )
+                return st, off
+
+            st_d, off_d = mk(dev, nv)
+            st_d, off_d = jax.device_put(np.asarray(st_d)), jax.device_put(
+                np.asarray(off_d)
+            )
+
+            def st_loop(fn):
+                @partial(jax.jit, static_argnums=(2,))
+                def loop(st, off, K):
+                    def body(i, acc):
+                        out = fn(st, off.at[-1].add(acc & 1))
+                        return acc + out[1].astype(jnp.int32)
+
+                    return lax.fori_loop(0, K, body, jnp.int32(0))
+
+                return loop
+
+            if "stv1" in which:
+                report(
+                    "stv1",
+                    amortized(
+                        st_loop(encode_kernel.stitch_tiles),
+                        (st_d, off_d), args.K,
+                    ),
+                )
+            if "stv2" in which:
+                report(
+                    "stv2",
+                    amortized(
+                        st_loop(
+                            partial(stitch_tiles_v2, layout3d=False)
+                        ),
+                        (st_d, off_d), args.K,
+                    ),
+                )
+            if "stv3" in which:
+                report(
+                    "stv3",
+                    amortized(
+                        st_loop(
+                            partial(stitch_tiles_v2, layout3d=True)
+                        ),
+                        (st_d, off_d), args.K,
+                    ),
+                )
         if "dec" in which or "decs" in which or "decpre" in which:
             stream = golden.encode(data)
             m = np.int32(len(stream))

@@ -164,14 +164,16 @@ def _encode_body(nv_ref, masks_ref, ints_ref, staging_ref, counts_ref):
     nv_next = shift_left(v, 1, False, col)
     end = v & (shift_left(start, 1, True, col) | ~nv_next)
 
-    run_start = _cummax(jnp.where(start, col, _I(-1)), 10, _I(-1), col)
-    run_len = (col - run_start + 1).astype(_U)
-
     # --- emit words (reference: kernels.cu:237-259) -------------------
+    # Fill words carry only their type header here; the run length is
+    # recovered AFTER compaction as the adjacent difference of run end
+    # columns (runs tile the block, so run w starts where run w-1
+    # ended). This replaces a second 10-step scan (cummax of start
+    # columns) with one roll + subtract on the compacted lanes.
     value = jnp.where(
         t == _I(2),
         chunk,
-        jnp.where(t == _I(1), _U(BIT3130) | run_len, _U(BIT31) | run_len),
+        jnp.where(t == _I(1), _U(BIT3130), _U(BIT31)),
     )
 
     # --- in-VMEM compaction to a dense prefix (replaces moveData) -----
@@ -180,14 +182,19 @@ def _encode_body(nv_ref, masks_ref, ints_ref, staging_ref, counts_ref):
     # word (every lane < count receives exactly its word — monotone
     # routing admits no overtaking) or masked out by the count below.
     # Raw rotations for the data moves: wrapped lanes are never selected
-    # (the source mask is edge-masked).
-    d = jnp.where(end, col - widx, _I(0))
+    # (the source mask is edge-masked). The displacement channel's high
+    # bits carry the run's end column for free (the step masks test only
+    # bits 0..9, and d rides along unmodified).
+    d = jnp.where(end, (col - widx) | (col << 10), col << 10)
     vals = value
     for k in range(10):
         kk = 1 << k
         src = shift_left(d & kk, kk, _I(0), col) != 0
         vals = jnp.where(src, pltpu.roll(vals, shift=L - kk, axis=1), vals)
         d = jnp.where(src, pltpu.roll(d, shift=L - kk, axis=1), d)
+    endcol = d >> 10
+    run_len = (endcol - shift_right(endcol, 1, _I(-1), col)).astype(_U)
+    vals = jnp.where((vals & _U(BIT31)) != 0, vals | run_len, vals)
     staging_ref[:] = jnp.where(col < incl[:, L - 1 : L], vals, zero_u)
 
 

@@ -103,11 +103,60 @@ def _body(packed_ref, tb_ref, staging_ref, pcol_ref, hbcol_ref,
         buf[pl.ds(0, 1)] = carry
 
 
+def _body_v3(packed_ref, tb_ref, staging_ref, pcol_ref, hbcol_ref,
+             out_ref, buf, sem, *, poison: bool):
+    """v3 = v2 with the accumulator in (tiles, 8, 128) vreg layout.
+
+    A 1024-word output tile stored as (1, 1024) pads to 8 sublanes in
+    VMEM, so every tile RMW moves 8 vregs; stored as (8, 128) it is
+    exactly ONE vreg-shaped unit. The rotated contributions are built in
+    lane space (rolls need lanes) and reshaped once to (B, 16, 128)
+    (sublane<->lane reshape is in-kernel legal), then the per-row RMW
+    loop touches single (1, 8, 128) slices.
+    """
+    pid = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    B = staging_ref.shape[0]
+    col = lane_iota((B, L))
+    zero_u = jnp.zeros((B, L), _U)
+
+    rot = _rotate_right_rows(staging_ref[:], pcol_ref[:], 10)
+    low = jnp.where(col >= pcol_ref[:], rot, zero_u)
+    high = jnp.where(col < hbcol_ref[:], rot, zero_u)
+    w3 = jnp.concatenate([low, high], axis=1).reshape(B, 16, 128)
+
+    for r in range(B):
+        pk = packed_ref[pid * B + r]
+        t = pk & 0x3FF
+        fresh = (pk >> 10) & 1
+        cross = (pk >> 11) & 1
+        lo = w3[r, 0:8, :][None]
+        hi = w3[r, 8:16, :][None]
+        o1 = buf[pl.ds(t, 1)]
+        buf[pl.ds(t, 1)] = jnp.where(fresh == 1, lo, o1 | lo)
+        o2 = buf[pl.ds(t + 1, 1)]
+        buf[pl.ds(t + 1, 1)] = jnp.where(cross == 1, hi, o2 | hi)
+
+    tb = tb_ref[pid]
+    cp = pltpu.make_async_copy(buf, out_ref.at[pl.ds(tb, B + 1)], sem)
+    cp.start()
+    cp.wait()
+
+    @pl.when(pid < nsteps - 1)
+    def _():
+        te = tb_ref[pid + 1] - tb
+        carry = buf[pl.ds(te, 1)]
+        if poison:  # interpreter-only: make first-touch bugs visible
+            buf[...] = jnp.full_like(buf[...], 0xDEADBEEF)
+        buf[pl.ds(0, 1)] = carry
+
+
 def stitch_tiles_v2(
     staging: jnp.ndarray,
     offsets_ext: jnp.ndarray,
     tile_blocks: int | None = None,
     poison: bool = False,
+    layout3d: bool = True,
 ) -> jnp.ndarray:
     """Assemble the dense stream from (nb, 1024) staging rows + exclusive
     word offsets (nb+1,). Returns (nb*1024,) uint32; words beyond
@@ -134,6 +183,8 @@ def stitch_tiles_v2(
     hb = jnp.maximum(p + counts - L, 0)
 
     T = nb + B + 2
+    buf_shape = (B + 1, 8, 128) if layout3d else (B + 1, 1, L)
+    out_shape3 = (T, 8, 128) if layout3d else (T, 1, L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nsteps,),
@@ -147,16 +198,16 @@ def stitch_tiles_v2(
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[
-            pltpu.VMEM((B + 1, 1, L), _U),
+            pltpu.VMEM(buf_shape, _U),
             pltpu.SemaphoreType.DMA,
         ],
     )
     from functools import partial
 
     out = pl.pallas_call(
-        partial(_body, poison=poison),
+        partial(_body_v3 if layout3d else _body, poison=poison),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((T, 1, L), _U)],
+        out_shape=[jax.ShapeDtypeStruct(out_shape3, _U)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
