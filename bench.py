@@ -63,7 +63,11 @@ def main() -> None:
     else:
         from wah_tpu.ops.pallas import encode_kernel
 
-        encode_padded = encode_kernel.encode_padded
+        # same static stitch selection the API applies from its
+        # host-side density sample (api.WahCodec._stitch_hint)
+        encode_padded = partial(
+            encode_kernel.encode_padded, stitch=WahCodec._stitch_hint(data)
+        )
 
     nv = np.int32(chunk_count(n))
 

@@ -78,7 +78,7 @@ def main() -> None:
 
         return loop
 
-    def enc_v2(ints, nvv, B=None):
+    def enc_v2(ints, nvv, B=None, v1=False):
         nb_ = ints.shape[0] // BLOCK_INTS
         st, cnt = encode_kernel.encode_tiles(
             ints.reshape(nb_, BLOCK_INTS),
@@ -88,6 +88,8 @@ def main() -> None:
         offsets_ext = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
         )
+        if v1:
+            return encode_kernel.stitch_tiles(st, offsets_ext), offsets_ext[-1]
         return stitch_tiles_v2(st, offsets_ext, B), offsets_ext[-1]
 
     @partial(jax.jit, static_argnums=(2,))
@@ -116,6 +118,7 @@ def main() -> None:
         "enc2": enc_loop(encode_kernel.encode_padded),
         "encf": enc_loop(encode_kernel.encode_padded_fused),
         "encv2": enc_loop(enc_v2),
+        "encv1": enc_loop(lambda i, nvv: enc_v2(i, nvv, v1=True)),
         "encv2b": enc_loop(lambda i, nvv: enc_v2(i, nvv, 512)),
         "encv2c": enc_loop(lambda i, nvv: enc_v2(i, nvv, 1024)),
     }
@@ -135,7 +138,7 @@ def main() -> None:
                 flush=True,
             )
 
-        for name in ("enc2", "encf", "encv2", "encv2b", "encv2c"):
+        for name in ("enc2", "encf", "encv2", "encv1", "encv2b", "encv2c"):
             if name in which:
                 report(name, amortized(loops[name], (dev, nv), args.K))
         if "tiles" in which:

@@ -55,6 +55,25 @@ def test_pallas_encode_matches_golden(name, gen):
     np.testing.assert_array_equal(_encode(data), golden.encode(data))
 
 
+@pytest.mark.parametrize("stitch", ["v1", "v3"])
+@pytest.mark.parametrize("name,gen", CASES, ids=[c[0] for c in CASES])
+def test_pallas_encode_static_stitch_matches_golden(name, gen, stitch):
+    """Both host-selected stitch variants (api._stitch_hint picks one
+    statically; the in-graph cond is the 'auto' fallback) are bit-exact."""
+    data = gen()
+    n = len(data)
+    nv = chunk_count(n)
+    nb = -(-nv // BLOCK_CHUNKS)
+    padded = np.zeros(nb * BLOCK_INTS, dtype=np.uint32)
+    padded[:n] = data
+    words, total = jax.jit(
+        lambda p, v: encode_kernel.encode_padded(p, v, stitch=stitch)
+    )(padded, np.int32(nv))
+    np.testing.assert_array_equal(
+        np.asarray(words)[: int(total)], golden.encode(data)
+    )
+
+
 @pytest.mark.parametrize("name,gen", CASES, ids=[c[0] for c in CASES])
 def test_pallas_fused_encode_matches_golden(name, gen):
     data = gen()

@@ -103,18 +103,44 @@ class WahCodec:
         except ImportError:
             return False
 
-    def _encode_fn(self, nb: int):
-        key = (nb, self._use_pallas())
+    def _encode_fn(self, nb: int, stitch: str = "auto"):
+        use_pallas = self._use_pallas()
+        if not use_pallas:
+            stitch = "auto"  # XLA path has no stitch variants
+        key = (nb, use_pallas, stitch)
         fn = self._encode_fns.get(key)
         if fn is None:
-            if key[1]:
+            if use_pallas:
                 from .ops.pallas import encode_kernel
 
-                fn = jax.jit(encode_kernel.encode_padded)
+                fn = jax.jit(
+                    partial(encode_kernel.encode_padded, stitch=stitch)
+                )
             else:
                 fn = jax.jit(_encode_ops.encode_padded)
             self._encode_fns[key] = fn
         return fn
+
+    @staticmethod
+    def _stitch_hint(data: np.ndarray) -> str:
+        """Static stitch-variant choice from a strided host-side sample
+        of the raw bitmap. The fraction of nonzero WORDS approximates
+        the literal fraction of the stream (a 31-bit chunk is a literal
+        iff nonzero): near 1.0 the stream is incompressible and the
+        constant-cost v3 stitch wins; below, the flush-proportional v1
+        accumulator wins (crossover measured between densities 2^-4,
+        literal fraction 0.87, and 0.5 — benchmarks/micro.py stv1/stv3).
+        Moving this choice to the host removes the in-graph lax.cond,
+        which costs several ms when the v1 branch is taken."""
+        step = max(1, data.shape[0] >> 16)
+        sample = data[::step]
+        frac = np.count_nonzero(sample) / max(1, sample.shape[0])
+        # Full-pipeline measurements (130 MB, v5e): v3 is flat ~5.4 ms
+        # at every density; v1 wins only for near-empty bitmaps
+        # (2^-16: 5.11 vs 5.44 ms) and degrades fast with density
+        # (2^-8: 6.0 ms, 2^-4: 8.2 ms). Choose v1 only when the stream
+        # is almost all fills.
+        return "v1" if frac < 0.02 else "v3"
 
     def _decode_fn(self, M: int, cap: int):
         key = (M, cap, self._use_pallas())
@@ -152,7 +178,12 @@ class WahCodec:
         nb = _next_pow2(-(-nv // BLOCK_CHUNKS))
         padded = np.zeros((C, nb * BLOCK_INTS), dtype=np.uint32)
         padded[:, :n] = data
-        key = ("batch_enc", C, nb, self._use_pallas())
+        stitch = (
+            self._stitch_hint(data.reshape(-1))
+            if self._use_pallas()
+            else "auto"
+        )
+        key = ("batch_enc", C, nb, self._use_pallas(), stitch)
         fn = self._encode_fns.get(key)
         if fn is None:
             if key[3]:
@@ -160,7 +191,10 @@ class WahCodec:
 
                 def _batch_enc(cols, nv):
                     return jax.lax.map(
-                        lambda x: encode_kernel.encode_padded(x, nv), cols
+                        lambda x: encode_kernel.encode_padded(
+                            x, nv, stitch=stitch
+                        ),
+                        cols,
                     )
 
                 fn = jax.jit(_batch_enc)
@@ -272,7 +306,7 @@ class WahCodec:
         dev.block_until_ready()
         t.stop("to_device")
 
-        fn = self._encode_fn(nb_b)
+        fn = self._encode_fn(nb_b, self._stitch_hint(data))
         t.start()
         words, total = fn(dev, np.int32(nv))
         jax.block_until_ready((words, total))

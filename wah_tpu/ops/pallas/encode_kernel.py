@@ -634,12 +634,21 @@ def encode_padded_fused(
 
 
 def encode_padded(
-    ints: jnp.ndarray, n_valid_chunks, chunk_base=0
+    ints: jnp.ndarray, n_valid_chunks, chunk_base=0, stitch: str = "auto"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel equivalent of ops.encode.encode_padded: compress a
     block-aligned (nb*992,) uint32 bitmap. Returns (words (nb*1024,),
     total); words beyond total are unspecified (see module docstring).
-    chunk_base: see encode_tiles."""
+    chunk_base: see encode_tiles.
+
+    stitch: "v1" (flush-count-proportional accumulator, fastest when
+    the stream compresses), "v3" (constant-cost vreg RMW stitch,
+    fastest for incompressible data), or "auto" (in-graph lax.cond on
+    the compressed ratio). Callers that can estimate density on the
+    host (api.WahCodec samples the raw input) should pass a static
+    choice: the cond variant costs several ms extra per call on TPU
+    when the v1 branch is taken (measured benchmarks/micro.py,
+    130 MB @ 2^-16: cond 11.7 ms vs static-v1 components ~4.7 ms)."""
     assert ints.shape[0] % BLOCK_INTS == 0, ints.shape
     nb = ints.shape[0] // BLOCK_INTS
     nbp = -(-nb // TILE_BLOCKS) * TILE_BLOCKS
@@ -661,11 +670,17 @@ def encode_padded(
     # constant (~7.1 ms); select on the compressed ratio.
     from .stitch2 import stitch_tiles_v2
 
-    nbp2 = staging.shape[0]
-    words = jax.lax.cond(
-        total * 8 > _I(nbp2 * L * 3),
-        lambda args: stitch_tiles_v2(*args),
-        lambda args: stitch_tiles(*args),
-        (staging, offsets_ext),
-    )
+    if stitch == "v1":
+        words = stitch_tiles(staging, offsets_ext)
+    elif stitch == "v3":
+        words = stitch_tiles_v2(staging, offsets_ext)
+    else:
+        assert stitch == "auto", stitch
+        nbp2 = staging.shape[0]
+        words = jax.lax.cond(
+            total * 8 > _I(nbp2 * L * 3),
+            lambda args: stitch_tiles_v2(*args),
+            lambda args: stitch_tiles(*args),
+            (staging, offsets_ext),
+        )
     return words[: nb * L], total

@@ -68,11 +68,14 @@ def make_mesh(devices=None) -> Mesh:
 # encode
 # --------------------------------------------------------------------------
 
-def _encode_local(ints_l: jnp.ndarray, nv: jnp.ndarray):
+def _encode_local(ints_l: jnp.ndarray, nv: jnp.ndarray, stitch_variant: str = "v3"):
     """Per-shard encode: (nb_l*992,) ints -> (nb_l*1024,) words, (1,) total.
 
     On TPU backends each shard runs the fused Pallas kernels; elsewhere
     (CPU meshes, tests) the pure-XLA pipeline. Both are bit-identical.
+    stitch_variant: static choice (see encode_kernel.encode_padded) —
+    default v3, the constant-cost stitch; ShardedCodec passes the
+    host-sampled hint.
     """
     nb_l = ints_l.shape[0] // BLOCK_INTS
     shard = jax.lax.axis_index(AXIS).astype(_I)
@@ -81,7 +84,7 @@ def _encode_local(ints_l: jnp.ndarray, nv: jnp.ndarray):
         from ..ops.pallas import encode_kernel
 
         words_l, total_l = encode_kernel.encode_padded(
-            ints_l.astype(jnp.uint32), nv, chunk_base
+            ints_l.astype(jnp.uint32), nv, chunk_base, stitch=stitch_variant
         )
         return words_l, total_l[None]
     chunks = bits.repartition_chunks(ints_l).reshape(nb_l, BLOCK_CHUNKS)
@@ -91,7 +94,7 @@ def _encode_local(ints_l: jnp.ndarray, nv: jnp.ndarray):
 
 
 def encode_sharded(
-    mesh: Mesh, ints: jnp.ndarray, n_valid_chunks
+    mesh: Mesh, ints: jnp.ndarray, n_valid_chunks, stitch: str = "v3"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed encode over `mesh`.
 
@@ -106,7 +109,7 @@ def encode_sharded(
     # check_vma=False: the local body may invoke Pallas kernels, whose
     # out_shapes don't carry the varying-axis metadata the checker needs
     f = jax.shard_map(
-        _encode_local,
+        partial(_encode_local, stitch_variant=stitch),
         mesh=mesh,
         in_specs=(P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS)),
@@ -259,7 +262,11 @@ class ShardedCodec:
         padded[:n] = data
         sharding = NamedSharding(self.mesh, P(AXIS))
         dev = jax.device_put(padded, sharding)
-        words, totals = encode_sharded(self.mesh, dev, np.int32(nv))
+        from ..api import WahCodec
+
+        words, totals = encode_sharded(
+            self.mesh, dev, np.int32(nv), stitch=WahCodec._stitch_hint(data)
+        )
         return gather_stream(words, totals)
 
     def decompress(
