@@ -42,7 +42,10 @@ def main() -> None:
     from wah_tpu.ops.pallas import encode_kernel
 
     C = args.cols
+    # pow2 blocks per column (the api's bucketing policy; the flattened
+    # batch kernel's per-column validity mask requires it)
     nb = max(1, (args.mbit * 1_000_000) // (BLOCK_INTS * 32))
+    nb = max(encode_kernel.TILE_BLOCKS, 1 << (nb - 1).bit_length())
     n = nb * BLOCK_INTS
     nv = np.int32(chunk_count(n))
     nbytes = C * n * 4
@@ -67,12 +70,11 @@ def main() -> None:
     @partial(jax.jit, static_argnums=(2,))
     def batch_loop(cols, nvv, K):
         def body(i, acc):
-            words, totals = lax.map(
-                lambda x: encode_kernel.encode_padded(x, nvv - (acc & 1)),
-                cols,
+            words, totals = encode_kernel.encode_padded_batch(
+                cols, nvv - (acc & 1)
             )
             return acc + jnp.sum(totals, dtype=jnp.int32) + words[
-                0, 1
+                1
             ].astype(jnp.int32)
 
         return lax.fori_loop(0, K, body, jnp.int32(0))

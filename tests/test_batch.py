@@ -62,3 +62,71 @@ def test_batch_pallas_path_matches_golden():
         np.testing.assert_array_equal(words[c, : totals[c]], ref)
     out = codec.decompress_batch(words, totals, out_ints=data.shape[1])
     np.testing.assert_array_equal(out, data)
+
+
+def test_batch_flattened_kernel_direct():
+    """encode_padded_batch (one flattened kernel pipeline): per-column
+    streams bit-exact vs golden across densities, including a column
+    whose stream fills its capacity exactly (incompressible data ->
+    every boundary/carry path in the batched stitch)."""
+    import jax
+
+    from wah_tpu.golden import chunk_count
+    from wah_tpu.ops.pallas import encode_kernel
+
+    nb = 8  # CPU TILE_BLOCKS; pow2
+    n = nb * BLOCK_INTS  # block-aligned: full-capacity column possible
+    rng = np.random.default_rng(42)
+    cols = np.stack(
+        [
+            random_bitmap(n, 1 / 64, seed=11),
+            rng.integers(1, 2**32, size=n, dtype=np.uint64).astype(
+                np.uint32
+            ),  # no zero/ones words: total == nb*1024 exactly
+            np.zeros(n, np.uint32),
+            random_bitmap(n, 0.5, seed=12),
+            np.full(n, 0xFFFFFFFF, np.uint32),
+        ]
+    )
+    nv = np.int32(chunk_count(n))
+    words, totals = jax.jit(encode_kernel.encode_padded_batch)(cols, nv)
+    words = np.asarray(words).reshape(cols.shape[0], -1)  # flat return
+    totals = np.asarray(totals)
+    assert totals[1] == nb * 1024  # capacity-filling column
+    for c in range(cols.shape[0]):
+        ref = golden.encode(cols[c])
+        assert totals[c] == len(ref), c
+        np.testing.assert_array_equal(words[c, : totals[c]], ref)
+
+
+def test_batch_flattened_kernel_groups_and_tail():
+    """group_rows smaller than the batch forces multiple lax.map groups
+    plus a padded partial group; a non-block-multiple column length
+    exercises the per-column validity mask's tail."""
+    import jax
+    from functools import partial
+
+    from wah_tpu.golden import chunk_count
+    from wah_tpu.ops.pallas import encode_kernel
+
+    nb = 8
+    n = (nb - 2) * BLOCK_INTS + 123  # tail: last valid block partial
+    cols = np.stack(
+        [random_bitmap(n, d, seed=20 + i) for i, d in enumerate(
+            [1 / 512, 0.3, 0.0, 1.0, 1 / 16])]
+    )
+    padded = np.zeros((cols.shape[0], nb * BLOCK_INTS), np.uint32)
+    padded[:, :n] = cols
+    nv = np.int32(chunk_count(n))
+    # 2 columns per group -> 3 groups, last padded from 5 to 6 columns
+    fn = jax.jit(
+        partial(encode_kernel.encode_padded_batch, group_rows=2 * nb)
+    )
+    words, totals = fn(padded, nv)
+    words = np.asarray(words).reshape(cols.shape[0], -1)
+    totals = np.asarray(totals)
+    assert totals.shape[0] == cols.shape[0]  # padding stripped
+    for c in range(cols.shape[0]):
+        ref = golden.encode(cols[c])
+        assert totals[c] == len(ref), c
+        np.testing.assert_array_equal(words[c, : totals[c]], ref)

@@ -168,3 +168,26 @@ def test_wide_scans_match_flat():
     np.testing.assert_array_equal(
         np.asarray(m), np.maximum.accumulate(x, axis=1)
     )
+
+
+def test_stitch_vmem_meta_path_matches_golden(monkeypatch):
+    """Streams larger than SMEM_META_MAX_ROWS switch the stitch's
+    per-row metadata from scalar-prefetch SMEM to VMEM scalar reads
+    (v5e SMEM is 1 MB; the 992 MB sweep config overflowed it). Force
+    the switch with a tiny threshold and check bit-exactness."""
+    from wah_tpu.ops.pallas import stitch2
+
+    monkeypatch.setattr(stitch2, "SMEM_META_MAX_ROWS", 4)
+    for name, gen in CASES:
+        data = gen()
+        n = len(data)
+        nv = chunk_count(n)
+        nb = -(-nv // BLOCK_CHUNKS)
+        padded = np.zeros(nb * BLOCK_INTS, dtype=np.uint32)
+        padded[:n] = data
+        words, total = jax.jit(
+            lambda p, v: encode_kernel.encode_padded(p, v, stitch="v3")
+        )(padded, np.int32(nv))
+        np.testing.assert_array_equal(
+            np.asarray(words)[: int(total)], golden.encode(data), err_msg=name
+        )

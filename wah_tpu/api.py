@@ -139,7 +139,11 @@ class WahCodec:
         # at every density; v1 wins only for near-empty bitmaps
         # (2^-16: 5.11 vs 5.44 ms) and degrades fast with density
         # (2^-8: 6.0 ms, 2^-4: 8.2 ms). Choose v1 only when the stream
-        # is almost all fills.
+        # is almost all fills. Size guard: v1 scalar-prefetches one
+        # int32 per block row into SMEM (1 MB on v5e), so huge streams
+        # must take v3 (whose per-row metadata rides in VMEM).
+        if data.shape[0] >= (1 << 27):  # >= 512 MB bitmap
+            return "v3"
         return "v1" if frac < 0.02 else "v3"
 
     def _decode_fn(self, M: int, cap: int):
@@ -176,33 +180,30 @@ class WahCodec:
         _check_size(n)
         nv = chunk_count(n)
         nb = _next_pow2(-(-nv // BLOCK_CHUNKS))
+        use_pallas = self._use_pallas()
+        if use_pallas:
+            # the flattened batch kernel needs whole grid tiles per
+            # column (pow2 already guaranteed by the bucketing)
+            from .ops.pallas.encode_kernel import TILE_BLOCKS
+
+            nb = max(nb, TILE_BLOCKS)
         padded = np.zeros((C, nb * BLOCK_INTS), dtype=np.uint32)
         padded[:, :n] = data
-        stitch = (
-            self._stitch_hint(data.reshape(-1))
-            if self._use_pallas()
-            else "auto"
-        )
-        key = ("batch_enc", C, nb, self._use_pallas(), stitch)
+        key = ("batch_enc", C, nb, use_pallas)
         fn = self._encode_fns.get(key)
         if fn is None:
-            if key[3]:
+            if use_pallas:
                 from .ops.pallas import encode_kernel
 
-                def _batch_enc(cols, nv):
-                    return jax.lax.map(
-                        lambda x: encode_kernel.encode_padded(
-                            x, nv, stitch=stitch
-                        ),
-                        cols,
-                    )
-
-                fn = jax.jit(_batch_enc)
+                fn = jax.jit(encode_kernel.encode_padded_batch)
             else:
                 fn = jax.jit(_encode_ops.encode_batch, static_argnums=(1,))
             self._encode_fns[key] = fn
         words, totals = fn(jax.device_put(padded), np.int32(nv))
-        return np.asarray(words), np.asarray(totals)
+        words = np.asarray(words)
+        if words.ndim == 1:  # flat Pallas batch output (see its doc)
+            words = words.reshape(C, -1)
+        return words, np.asarray(totals)
 
     def decompress_batch(
         self,

@@ -50,6 +50,10 @@ _U = jnp.uint32
 _I = jnp.int32
 L = BLOCK_CHUNKS
 
+# Streams up to this many block rows keep per-row meta in SMEM (512 KB
+# of the 1 MB v5e budget); larger ones scalar-read meta from VMEM.
+SMEM_META_MAX_ROWS = 1 << 17
+
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
@@ -62,25 +66,42 @@ def _rotate_right_rows(x, s, nbits: int):
     return x
 
 
-def _body(packed_ref, tb_ref, staging_ref, pcol_ref, hbcol_ref,
-          out_ref, buf, sem, *, poison: bool):
+def _body(*refs, poison: bool, smem_meta: bool):
+    # meta packs p | t_loc<<10 | fresh<<20 | cross<<21 per row. Two
+    # static layouts (chosen by stream size):
+    #   smem_meta: meta is also scalar-prefetched whole into SMEM
+    #     (packed_ref) — fastest per-row scalar reads, but SMEM is 1 MB
+    #     on v5e, capping the stream at ~500 MB;
+    #   else: the per-row loop scalar-reads the VMEM meta block (a few
+    #     extra ns per row) — unbounded stream size. The 992 MB sweep
+    #     config overflowed the SMEM-only variant (262144 rows).
+    if smem_meta:
+        (packed_ref, tb_ref, staging_ref, meta_ref, hbcol_ref,
+         out_ref, buf, sem) = refs
+    else:
+        (tb_ref, staging_ref, meta_ref, hbcol_ref,
+         out_ref, buf, sem) = refs
+        packed_ref = None
     pid = pl.program_id(0)
     nsteps = pl.num_programs(0)
     B = staging_ref.shape[0]
     col = lane_iota((B, L))
     zero_u = jnp.zeros((B, L), _U)
 
+    p_vec = meta_ref[:] & 0x3FF
+
     # rotate every row to phase, split into low/high tile parts
-    rot = _rotate_right_rows(staging_ref[:], pcol_ref[:], 10)
-    low = jnp.where(col >= pcol_ref[:], rot, zero_u)
+    rot = _rotate_right_rows(staging_ref[:], p_vec, 10)
+    low = jnp.where(col >= p_vec, rot, zero_u)
     high = jnp.where(col < hbcol_ref[:], rot, zero_u)
 
     # per-row RMW into the local tile window (branchless)
     for r in range(B):
-        pk = packed_ref[pid * B + r]
-        t = pk & 0x3FF
-        fresh = (pk >> 10) & 1
-        cross = (pk >> 11) & 1
+        pk = (packed_ref[pid * B + r] if smem_meta
+              else meta_ref[r, 0])
+        t = (pk >> 10) & 0x3FF
+        fresh = (pk >> 20) & 1
+        cross = (pk >> 21) & 1
         lo = low[r : r + 1][None]
         hi = high[r : r + 1][None]
         o1 = buf[pl.ds(t, 1)]
@@ -96,15 +117,17 @@ def _body(packed_ref, tb_ref, staging_ref, pcol_ref, hbcol_ref,
 
     @pl.when(pid < nsteps - 1)
     def _():
-        te = tb_ref[pid + 1] - tb
+        # clamp: at batched-column boundaries tb jumps by up to a whole
+        # column capacity; the landing row is fresh (tile-aligned column
+        # base), so any in-range tile serves as the (ignored) carry
+        te = jnp.minimum(tb_ref[pid + 1] - tb, B)
         carry = buf[pl.ds(te, 1)]
         if poison:  # interpreter-only: make first-touch bugs visible
             buf[...] = jnp.full_like(buf[...], 0xDEADBEEF)
         buf[pl.ds(0, 1)] = carry
 
 
-def _body_v3(packed_ref, tb_ref, staging_ref, pcol_ref, hbcol_ref,
-             out_ref, buf, sem, *, poison: bool):
+def _body_v3(*refs, poison: bool, smem_meta: bool):
     """v3 = v2 with the accumulator in (tiles, 8, 128) vreg layout.
 
     A 1024-word output tile stored as (1, 1024) pads to 8 sublanes in
@@ -112,24 +135,33 @@ def _body_v3(packed_ref, tb_ref, staging_ref, pcol_ref, hbcol_ref,
     exactly ONE vreg-shaped unit. The rotated contributions are built in
     lane space (rolls need lanes) and reshaped once to (B, 16, 128)
     (sublane<->lane reshape is in-kernel legal), then the per-row RMW
-    loop touches single (1, 8, 128) slices.
+    loop touches single (1, 8, 128) slices. smem_meta: see _body.
     """
+    if smem_meta:
+        (packed_ref, tb_ref, staging_ref, meta_ref, hbcol_ref,
+         out_ref, buf, sem) = refs
+    else:
+        (tb_ref, staging_ref, meta_ref, hbcol_ref,
+         out_ref, buf, sem) = refs
+        packed_ref = None
     pid = pl.program_id(0)
     nsteps = pl.num_programs(0)
     B = staging_ref.shape[0]
     col = lane_iota((B, L))
     zero_u = jnp.zeros((B, L), _U)
 
-    rot = _rotate_right_rows(staging_ref[:], pcol_ref[:], 10)
-    low = jnp.where(col >= pcol_ref[:], rot, zero_u)
+    p_vec = meta_ref[:] & 0x3FF
+    rot = _rotate_right_rows(staging_ref[:], p_vec, 10)
+    low = jnp.where(col >= p_vec, rot, zero_u)
     high = jnp.where(col < hbcol_ref[:], rot, zero_u)
     w3 = jnp.concatenate([low, high], axis=1).reshape(B, 16, 128)
 
     for r in range(B):
-        pk = packed_ref[pid * B + r]
-        t = pk & 0x3FF
-        fresh = (pk >> 10) & 1
-        cross = (pk >> 11) & 1
+        pk = (packed_ref[pid * B + r] if smem_meta
+              else meta_ref[r, 0])
+        t = (pk >> 10) & 0x3FF
+        fresh = (pk >> 20) & 1
+        cross = (pk >> 21) & 1
         lo = w3[r, 0:8, :][None]
         hi = w3[r, 8:16, :][None]
         o1 = buf[pl.ds(t, 1)]
@@ -144,7 +176,10 @@ def _body_v3(packed_ref, tb_ref, staging_ref, pcol_ref, hbcol_ref,
 
     @pl.when(pid < nsteps - 1)
     def _():
-        te = tb_ref[pid + 1] - tb
+        # clamp: at batched-column boundaries tb jumps by up to a whole
+        # column capacity; the landing row is fresh (tile-aligned column
+        # base), so any in-range tile serves as the (ignored) carry
+        te = jnp.minimum(tb_ref[pid + 1] - tb, B)
         carry = buf[pl.ds(te, 1)]
         if poison:  # interpreter-only: make first-touch bugs visible
             buf[...] = jnp.full_like(buf[...], 0xDEADBEEF)
@@ -157,10 +192,21 @@ def stitch_tiles_v2(
     tile_blocks: int | None = None,
     poison: bool = False,
     layout3d: bool = True,
+    counts: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Assemble the dense stream from (nb, 1024) staging rows + exclusive
     word offsets (nb+1,). Returns (nb*1024,) uint32; words beyond
     offsets_ext[-1] are unspecified. Drop-in for encode_kernel.stitch_tiles.
+
+    counts: optional per-row word counts. When omitted they are the
+    offset differences (a single contiguous stream). Batched columns
+    (encode_padded_batch) pass them explicitly: there the offsets JUMP
+    at column boundaries (each column's stream restarts at its own
+    tile-aligned capacity base), so differences would over-count the
+    boundary rows. Offset jumps are supported as long as every jump
+    lands on a step boundary (column capacity % tile_blocks == 0): the
+    landing row is tile-aligned and fresh, so the (clamped) carry tile
+    is never OR-ed with stale content.
     """
     from . import encode_kernel as _ek
 
@@ -171,7 +217,11 @@ def stitch_tiles_v2(
     nsteps = nb // B
 
     off = offsets_ext[:nb].astype(_I)
-    counts = (offsets_ext[1:] - offsets_ext[:-1]).astype(_I)
+    if counts is None:
+        counts = (offsets_ext[1:] - offsets_ext[:-1]).astype(_I)
+    else:
+        assert counts.shape == (nb,), counts.shape
+        counts = counts.astype(_I)
     p = off % L
     t_glob = off // L
     tb = t_glob[::B]  # (nsteps,) step base tiles
@@ -179,22 +229,25 @@ def stitch_tiles_v2(
     prev_t = jnp.concatenate([jnp.full((1,), -1, _I), t_glob[:-1]])
     fresh = ((t_glob > prev_t) & (p == 0)).astype(_I)
     cross = (p + counts > L).astype(_I)
-    packed = t_loc | (fresh << 10) | (cross << 11)
+    meta = p | (t_loc << 10) | (fresh << 20) | (cross << 21)
     hb = jnp.maximum(p + counts - L, 0)
 
     T = nb + B + 2
     buf_shape = (B + 1, 8, 128) if layout3d else (B + 1, 1, L)
     out_shape3 = (T, 8, 128) if layout3d else (T, 1, L)
+    # SMEM-resident per-row meta is the fast path for per-row scalar
+    # reads but SMEM is 1 MB on v5e; beyond ~2^17 rows the loop reads
+    # the VMEM meta block instead (see _body).
+    smem_meta = nb <= SMEM_META_MAX_ROWS
+    idx = (lambda i, pk, tb_: (i, 0)) if smem_meta else (
+        lambda i, tb_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=2 if smem_meta else 1,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((B, L), lambda i, pk, tb_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i, pk, tb_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i, pk, tb_: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), idx, memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[
@@ -204,8 +257,11 @@ def stitch_tiles_v2(
     )
     from functools import partial
 
+    meta = meta.reshape(nb, 1)
+    args = (meta[:, 0], tb) if smem_meta else (tb,)
     out = pl.pallas_call(
-        partial(_body_v3 if layout3d else _body, poison=poison),
+        partial(_body_v3 if layout3d else _body, poison=poison,
+                smem_meta=smem_meta),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(out_shape3, _U)],
         compiler_params=pltpu.CompilerParams(
@@ -213,10 +269,9 @@ def stitch_tiles_v2(
         ),
         interpret=_interpret(),
     )(
-        packed,
-        tb,
+        *args,
         staging,
-        p.reshape(nb, 1),
+        meta,
         hb.reshape(nb, 1),
     )[0]
     return out.reshape(-1)[: nb * L]
