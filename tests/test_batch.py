@@ -130,3 +130,57 @@ def test_batch_flattened_kernel_groups_and_tail():
         ref = golden.encode(cols[c])
         assert totals[c] == len(ref), c
         np.testing.assert_array_equal(words[c, : totals[c]], ref)
+
+
+def test_batch_flattened_decode_direct():
+    """decode_batch (one flattened kernel): roundtrip vs golden for
+    mixed columns — all-zeros (max-length fills, covering row jumps),
+    incompressible (capacity-filling stream), dense, sparse, tail."""
+    import jax
+
+    from wah_tpu.constants import BLOCK_CHUNKS
+    from wah_tpu.golden import chunk_count
+    from wah_tpu.ops.pallas import decode_kernel
+
+    nbo = 8  # CPU decode TILE_BLOCKS; pow2
+    n = (nbo - 1) * BLOCK_INTS + 200  # tail: nv < capacity
+    rng = np.random.default_rng(77)
+    cols = np.stack(
+        [
+            np.zeros(n, np.uint32),
+            rng.integers(1, 2**32, size=n, dtype=np.uint64).astype(
+                np.uint32
+            ),
+            random_bitmap(n, 0.5, seed=31),
+            random_bitmap(n, 1 / 512, seed=32),
+            np.full(n, 0xFFFFFFFF, np.uint32),
+            clustered_bitmap(n, seed=33),
+        ]
+    )
+    streams = [golden.encode(c) for c in cols]
+    ms = np.array([len(s) for s in streams], np.int32)
+    Mcap = max(1024, -(-int(ms.max()) // 1024) * 1024)
+    w2 = np.zeros((len(streams), Mcap), np.uint32)
+    for i, s in enumerate(streams):
+        w2[i, : len(s)] = s
+    cap = nbo * BLOCK_CHUNKS
+    flat = jax.jit(
+        lambda w, m: decode_kernel.decode_batch(w, m, cap)
+    )(w2, ms)
+    flat = np.asarray(flat).reshape(len(streams), -1)
+    nv = chunk_count(n)
+    out_ints = (31 * nv + 31) // 32
+    for c in range(cols.shape[0]):
+        np.testing.assert_array_equal(
+            flat[c, :out_ints][:n], cols[c], err_msg=str(c)
+        )
+
+
+def test_batch_decompress_pallas_route():
+    """api.decompress_batch takes the flattened Pallas kernel on the
+    pallas route and stays bit-exact."""
+    data = _columns(3 * BLOCK_INTS + 41, [1 / 64, 0.5, 0.0, 1 / 4096])
+    codec = WahCodec(kernel="pallas")
+    words, totals = codec.compress_batch(data)
+    out = codec.decompress_batch(words, totals, out_ints=data.shape[1])
+    np.testing.assert_array_equal(out, data)

@@ -223,28 +223,44 @@ class WahCodec:
         is_fill = (words & np.uint32(BIT31)) != 0
         counts = np.where(is_fill, words & np.uint32(LEN_MASK), 1)
         counts[np.arange(M)[None, :] >= totals[:, None]] = 0
-        n_chunks = int(counts.sum(axis=1).max())
+        col_chunks = counts.sum(axis=1)
+        n_chunks = int(col_chunks.max())
         cap = _next_pow2(max(1, -(-n_chunks // BLOCK_CHUNKS))) * BLOCK_CHUNKS
-        key = ("batch_dec", C, M, cap, self._use_pallas())
+        # the flattened batch kernel requires equal per-column expansion
+        # (always true for compress_batch streams: equal-length columns)
+        uniform = bool((col_chunks == col_chunks[0]).all())
+        use_pallas = self._use_pallas() and uniform
+        if use_pallas:
+            from .ops.pallas.decode_kernel import TILE_BLOCKS as DTILE
+
+            cap = max(cap, DTILE * BLOCK_CHUNKS)
+            Mp = max(1024, -(-M // 1024) * 1024)
+            if Mp != M:
+                wpad = np.zeros((C, Mp), np.uint32)
+                wpad[:, :M] = words
+                words = wpad
+                M = Mp
+        key = ("batch_dec", C, M, cap, use_pallas)
         fn = self._decode_fns.get(key)
         if fn is None:
-            if key[4]:
+            if use_pallas:
                 from .ops.pallas import decode_kernel
 
-                def _batch_dec(words, totals):
-                    return jax.lax.map(
-                        lambda wt: decode_kernel.decode(wt[0], wt[1], cap),
-                        (words, totals),
+                fn = jax.jit(
+                    partial(
+                        decode_kernel.decode_batch, col_chunk_capacity=cap
                     )
-
-                fn = jax.jit(_batch_dec)
+                )
             else:
                 fn = jax.jit(
                     partial(_decode_ops.decode_batch, chunk_capacity=cap)
                 )
             self._decode_fns[key] = fn
-        ints, n_ints = fn(jax.device_put(words), totals.astype(np.int32))
-        out = np.asarray(ints)
+        res = fn(jax.device_put(words), totals.astype(np.int32))
+        if use_pallas:  # flat return (see decode_kernel.decode_batch)
+            out = np.asarray(res).reshape(C, -1)
+        else:
+            out = np.asarray(res[0])
         if out_ints is not None:
             out = out[:, :out_ints]
         return out

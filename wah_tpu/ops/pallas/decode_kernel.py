@@ -49,7 +49,7 @@ from .common import (
     shift_right,
 )
 
-__all__ = ["decode"]
+__all__ = ["decode", "decode_batch"]
 
 _U = jnp.uint32
 _I = jnp.int32
@@ -246,7 +246,12 @@ def _decode_body(
     chunks = jnp.where(
         is_start, val_d, jnp.where(covered_ones, _U(ONES31), zero_u)
     )
-    chunks = jnp.where(base + col < meta_ref[0], chunks, zero_u)
+    # meta[3] is a position mask: 0x7FFFFFFF (identity) for a single
+    # stream, col_chunk_capacity-1 for flattened batched columns (each
+    # column decodes the same valid count at its own pow2-aligned base)
+    chunks = jnp.where(
+        ((base + col) & meta_ref[3]) < meta_ref[0], chunks, zero_u
+    )
 
     # --- fused 31->32-bit merge (reference mergeWords, kernels.cu:369-385)
     # int[x] = (c[x] >> x) | (c[x+1] << (31-x)) within each 32-chunk
@@ -322,9 +327,21 @@ def decode(
         [row_base, jnp.full((Rp - Rr,), jnp.iinfo(jnp.int32).max, _I)]
     ).reshape(-1, 1, 1024)
 
+    meta = jnp.stack(
+        [n_chunks, m, base_i, jnp.full((), 0x7FFFFFFF, _I)]
+    )
+    ints2d = _run_decode(rbase, meta, words_t, rbt, nbo_p)
+    ints = ints2d.reshape(-1)[: nbo * BLOCK_INTS]
+    n_ints = (31 * n_chunks + 31) // 32
+    return ints, n_ints
+
+
+def _run_decode(rbase, meta, words_t, rbt, nbo_p):
+    """Launch _decode_body over nbo_p output blocks -> (nbo_p, 992)."""
+    B = TILE_BLOCKS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nsteps,),
+        grid=(nbo_p // B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -345,8 +362,7 @@ def decode(
             pltpu.SemaphoreType.DMA,
         ],
     )
-    meta = jnp.stack([n_chunks, m, base_i])
-    ints2d = pl.pallas_call(
+    return pl.pallas_call(
         _decode_body,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nbo_p, BLOCK_INTS), _U)],
@@ -361,6 +377,91 @@ def decode(
         rbt,
         jnp.asarray(_MERGE_MASKS),
     )[0]
-    ints = ints2d.reshape(-1)[: nbo * BLOCK_INTS]
-    n_ints = (31 * n_chunks + 31) // 32
-    return ints, n_ints
+
+
+def decode_batch(
+    words2d: jnp.ndarray, ms: jnp.ndarray, col_chunk_capacity: int
+) -> jnp.ndarray:
+    """Flattened batched-column decode: C equal-capacity streams in ONE
+    kernel launch (the inverse of encode_padded_batch; the reference
+    would call decompress per column, decompress.h).
+
+    words2d: (C, Mcap) uint32, Mcap % 1024 == 0; column c's stream is
+    words2d[c, :ms[c]], ZERO beyond (zero padding words are counted as
+    literals by the in-window offset reconstruction, but they sit after
+    every valid word of their column, so valid offsets are unaffected
+    and their arrivals land at per-column positions >= the column's
+    chunk count, which the position-mask validity kills).
+    ms: (C,) int32 per-column word counts.
+    col_chunk_capacity: pow2, multiple of TILE_BLOCKS*1024; every
+    column must expand to <= this many chunks.
+
+    Returns ints_flat ((C * cap//1024 * 992,) uint32): column c's
+    bitmap is ints_flat[c*cap//1024*992:][:out_ints] (callers know
+    out_ints; trailing words up to the capacity are zero).
+
+    Construction: column streams are laid out at pow2 word bases and
+    their row_base tables rebased to per-column chunk bases c*cap (flat
+    cumsum + rebase, same trick as encode_padded_batch), so the flat
+    OUTPUT block axis is contiguous and one step-base searchsorted +
+    the unmodified self-locating kernel decode everything. Column
+    boundaries land on grid-step boundaries (cap % (TILE*1024) == 0),
+    so the <=1-row-per-block window-advance invariant holds within
+    every step."""
+    C, Mcap = words2d.shape
+    cap = col_chunk_capacity
+    B = TILE_BLOCKS
+    assert Mcap % L == 0, Mcap
+    assert cap % (B * L) == 0 and cap & (cap - 1) == 0, (cap, B)
+    w2 = words2d.astype(_U)
+    ms = jnp.asarray(ms, dtype=_I)
+
+    # per-column masked counts -> flat row sums -> rebased row_base
+    iw = jnp.arange(Mcap, dtype=_I)
+    is_fill = (w2 & _U(BIT31)) != 0
+    cnt = jnp.where(is_fill, (w2 & _U(LEN_MASK)).astype(_I), _I(1))
+    cnt = jnp.where(iw[None, :] < ms[:, None], cnt, _I(0))
+    rows_per_col = Mcap // L
+    row_sums = jnp.sum(cnt.reshape(C * rows_per_col, L), axis=1, dtype=_I)
+    cf = jnp.cumsum(row_sums, dtype=_I).reshape(C, rows_per_col)
+    ends = cf[:, -1]
+    starts = jnp.concatenate([jnp.zeros((1,), _I), ends[:-1]])
+    col_base = jnp.arange(C, dtype=_I) * _I(cap)
+    row_base = (
+        cf - row_sums.reshape(C, rows_per_col)
+        + (col_base - starts)[:, None]
+    ).reshape(-1)
+
+    nbo = cap // L  # blocks per column
+    nbo_t = C * nbo
+    nsteps = nbo_t // B
+
+    words_t = jnp.concatenate(
+        [w2.reshape(-1), jnp.zeros(((B + 4) * L,), _U)]
+    ).reshape(-1, 8, 128)
+    step_bases = jnp.arange(nsteps, dtype=_I) * (B * L)
+    rbase = jnp.clip(
+        jnp.searchsorted(row_base, step_bases, side="right").astype(_I)
+        - 1,
+        0,
+        _I(words_t.shape[0] - (B + 2)),
+    )
+    Rr = row_base.shape[0]
+    Rp = -(-(Rr + 1024) // 1024) * 1024
+    rbt = jnp.concatenate(
+        [row_base, jnp.full((Rp - Rr,), jnp.iinfo(jnp.int32).max, _I)]
+    ).reshape(-1, 1, 1024)
+
+    # every column expands the same chunk count (equal-length columns);
+    # in-kernel word masking is disabled (idx < m with m = all words) —
+    # the zero-padding analysis above makes it redundant
+    meta = jnp.stack(
+        [
+            ends[0] - starts[0],
+            _I(C * Mcap),
+            _I(0),
+            _I(cap - 1),
+        ]
+    )
+    ints2d = _run_decode(rbase, meta, words_t, rbt, nbo_t)
+    return ints2d.reshape(-1)
