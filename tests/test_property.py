@@ -102,3 +102,58 @@ def test_xla_matches_golden(data):
     wp[: len(ref)] = ref
     ints, n_ints = dops.decode(wp, np.int32(len(ref)), cap)
     np.testing.assert_array_equal(np.asarray(ints)[:n], data)
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_flattened_batch_roundtrip(data_st):
+    """Property: for ANY set of equal-length columns, the flattened
+    batch kernels (interpreted) produce each column's golden stream and
+    invert it exactly (encode_padded_batch + decode_batch)."""
+    import jax
+
+    from wah_tpu.constants import BLOCK_CHUNKS, BLOCK_INTS
+    from wah_tpu.golden import chunk_count
+    from wah_tpu.ops.pallas import decode_kernel, encode_kernel
+
+    C = data_st.draw(st.integers(min_value=1, max_value=5))
+    n = data_st.draw(st.integers(min_value=1, max_value=2 * 992 + 40))
+    # draw C independent bitmaps, truncated/padded to a common length
+    raw = [data_st.draw(bitmaps()) for _ in range(C)]
+    cols = np.zeros((C, n), np.uint32)
+    for i, r in enumerate(raw):
+        cols[i, : min(n, len(r))] = r[:n]
+
+    nv = chunk_count(n)
+    nb = max(
+        encode_kernel.TILE_BLOCKS,
+        1 << (-(-nv // BLOCK_CHUNKS) - 1).bit_length(),
+    )
+    padded = np.zeros((C, nb * BLOCK_INTS), np.uint32)
+    padded[:, :n] = cols
+    words, totals = jax.jit(encode_kernel.encode_padded_batch)(
+        padded, np.int32(nv)
+    )
+    words = np.asarray(words).reshape(C, -1)
+    totals = np.asarray(totals)
+    refs = [golden.encode(cols[c]) for c in range(C)]
+    for c in range(C):
+        assert totals[c] == len(refs[c]), c
+        np.testing.assert_array_equal(words[c, : totals[c]], refs[c])
+
+    # decode the streams back through the flattened batch decoder
+    dnb = max(decode_kernel.TILE_BLOCKS,
+              1 << (-(-nv // BLOCK_CHUNKS) - 1).bit_length())
+    cap = dnb * BLOCK_CHUNKS
+    Mcap = max(1024, -(-int(totals.max()) // 1024) * 1024)
+    w2 = np.zeros((C, Mcap), np.uint32)
+    for c in range(C):
+        w2[c, : totals[c]] = refs[c]
+    flat = jax.jit(
+        lambda w, m: decode_kernel.decode_batch(w, m, cap)
+    )(w2, totals.astype(np.int32))
+    flat = np.asarray(flat).reshape(C, -1)
+    out_ints = (31 * nv + 31) // 32
+    for c in range(C):
+        np.testing.assert_array_equal(flat[c, :out_ints][:n], cols[c], err_msg=str(c))
