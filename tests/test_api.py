@@ -100,3 +100,18 @@ def test_size_cap_guard():
     _check_size(MAX_INTS_PER_BITMAP)  # at the cap: fine
     with pytest.raises(ValueError):
         _check_size(MAX_INTS_PER_BITMAP + 1)
+
+
+def test_stitch_hint_selection():
+    """Host-side static stitch selection: v1 only for near-empty
+    bitmaps that also fit the SMEM-prefetch stitch; v3 otherwise."""
+    from wah_tpu.api import WahCodec
+
+    sparse = np.zeros(100_000, np.uint32)
+    sparse[::997] = 1  # ~0.1% nonzero words
+    assert WahCodec._stitch_hint(sparse) == "v1"
+    dense = np.full(100_000, 7, np.uint32)
+    assert WahCodec._stitch_hint(dense) == "v3"
+    # huge sparse bitmaps must avoid the SMEM-prefetch v1 stitch
+    huge = np.zeros(1 << 27, np.uint32)
+    assert WahCodec._stitch_hint(huge) == "v3"

@@ -63,3 +63,35 @@ def test_logical_composition(codec):
     t2 = codec.logical(sa, sb, "xor", n)
     got = codec.logical(t1, t2, "or", n)
     np.testing.assert_array_equal(got, golden.encode(a | b))
+
+
+def test_logical_many_matches_pairwise():
+    """logical_many (one batch decode + reduce + encode) equals the
+    pairwise fold, on both kernel routes."""
+    from conftest import random_bitmap
+    from wah_tpu import WahCodec, golden
+
+    n = 2 * 992 + 100
+    cols = [random_bitmap(n, d, seed=50 + i)
+            for i, d in enumerate([1 / 64, 0.4, 0.0, 1 / 8])]
+    streams = [golden.encode(c) for c in cols]
+    expect = cols[0]
+    for c in cols[1:]:
+        expect = expect | c
+    ref = golden.encode(expect)
+    for kernel in ("xla", "pallas"):
+        codec = WahCodec(kernel=kernel)
+        got = codec.logical_many(streams, "or", n)
+        np.testing.assert_array_equal(got, ref, err_msg=kernel)
+        # and/xor too
+        ea = cols[0]
+        ex = cols[0]
+        for c in cols[1:]:
+            ea = ea & c
+            ex = ex ^ c
+        np.testing.assert_array_equal(
+            codec.logical_many(streams, "and", n), golden.encode(ea)
+        )
+        np.testing.assert_array_equal(
+            codec.logical_many(streams, "xor", n), golden.encode(ex)
+        )

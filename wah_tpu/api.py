@@ -298,6 +298,38 @@ class WahCodec:
         )
         return np.asarray(words[: int(total)])
 
+    def logical_many(
+        self, streams, op: str, n_ints: int
+    ) -> np.ndarray:
+        """Fold k compressed streams with an associative op
+        (or/and/xor) in ONE fused pipeline: flattened batch decode +
+        elementwise reduce + one encode (vs k-1 pairwise logical()
+        calls). Returns the compressed result."""
+        streams = [
+            np.ascontiguousarray(s, dtype=np.uint32) for s in streams
+        ]
+        assert streams, "empty stream set"
+        if len(streams) == 1:
+            return streams[0].copy()
+        C = len(streams)
+        M = _next_pow2(max(max(len(s) for s in streams), 1024))
+        w2 = np.zeros((C, M), np.uint32)
+        ms = np.zeros((C,), np.int32)
+        for i, s in enumerate(streams):
+            w2[i, : len(s)] = s
+            ms[i] = len(s)
+        from .ops import logical as _lops
+
+        key = ("logical_many", op, C, M, n_ints)
+        fn = self._encode_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(_lops.logical_reduce, op=op, n_ints=n_ints)
+            )
+            self._encode_fns[key] = fn
+        words, total = fn(jax.device_put(w2), ms)
+        return np.asarray(words[: int(total)])
+
     # -- public API --------------------------------------------------------
     def compress(
         self, data: np.ndarray

@@ -90,10 +90,11 @@ class BitmapIndex:
         the compressed domain)."""
         vs = list(vs)
         assert vs, "empty membership set"
-        acc = self.streams[vs[0]]
-        for v in vs[1:]:
-            acc = self.codec.logical(acc, self.streams[v], "or", self.n_ints)
-        return acc
+        if len(vs) == 1:
+            return self.streams[vs[0]]
+        return self.codec.logical_many(
+            [self.streams[v] for v in vs], "or", self.n_ints
+        )
 
     def query_range(self, lo: int, hi: int) -> np.ndarray:
         """Compressed bitmap of rows where lo <= value <= hi."""

@@ -24,7 +24,7 @@ from ..constants import BIT31, BIT3130, BLOCK_CHUNKS, BLOCK_INTS, ONES31
 from . import decode as _dec
 from . import encode as _enc
 
-__all__ = ["logical_op", "complement_stream", "OPS"]
+__all__ = ["logical_op", "logical_reduce", "complement_stream", "OPS"]
 
 _U = jnp.uint32
 _I = jnp.int32
@@ -81,6 +81,50 @@ def logical_op(
     else:
         enc = _enc.encode_padded
     return enc(combined[:pad_ints], nv)
+
+
+def logical_reduce(
+    words2d: jnp.ndarray,
+    ms: jnp.ndarray,
+    op: str,
+    n_ints: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold C streams with an associative op (or/and/xor) -> one
+    compressed stream. The index workload's k-way queries (query_in's
+    OR over membership columns) pay ONE flattened batch decode + one
+    elementwise reduce + ONE encode instead of k-1 pairwise
+    decode+decode+encode pipelines (~3x less codec work for large k).
+    """
+    assert op in ("or", "and", "xor"), op  # andnot is not associative
+    fn = OPS[op]
+    from ..golden import chunk_count
+
+    C = words2d.shape[0]
+    nv = chunk_count(n_ints)
+    nb = -(-nv // BLOCK_CHUNKS)
+    pad_ints = nb * BLOCK_INTS
+    if jax.default_backend() != "cpu":
+        from .pallas.decode_kernel import TILE_BLOCKS as _DT
+        from .pallas.decode_kernel import decode_batch
+
+        nbp = max(_DT, 1 << (nb - 1).bit_length())
+        flat = decode_batch(words2d, ms, nbp * BLOCK_CHUNKS)
+        ints2d = flat.reshape(C, -1)
+    else:
+        ints2d, _ = _dec.decode_batch(
+            words2d, ms, chunk_capacity=nb * BLOCK_CHUNKS
+        )
+    acc = ints2d[0]
+    for c in range(1, C):
+        acc = fn(acc, ints2d[c])
+    acc = acc[:pad_ints]
+    i = jnp.arange(pad_ints, dtype=_I)
+    acc = jnp.where(i * 32 < n_ints * 32, acc, _U(0))
+    if jax.default_backend() != "cpu":
+        from .pallas.encode_kernel import encode_padded as enc
+
+        return enc(acc, nv, stitch="v3")
+    return _enc.encode_padded(acc, nv)
 
 
 def complement_stream(words: jnp.ndarray, m) -> jnp.ndarray:
