@@ -80,8 +80,14 @@ def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
         from wah_tpu.ops.decode import decode as dec_fn
         from wah_tpu.ops.encode import encode_padded as enc_fn
     else:
+        from wah_tpu.api import WahCodec
         from wah_tpu.ops.pallas.decode_kernel import decode as dec_fn
-        from wah_tpu.ops.pallas.encode_kernel import encode_padded as enc_fn
+        from wah_tpu.ops.pallas.encode_kernel import encode_padded
+
+        # same static stitch selection the API applies host-side
+        enc_fn = partial(
+            encode_padded, stitch=WahCodec._stitch_hint(data)
+        )
 
     n = data.shape[0]
     nv = np.int32(chunk_count(n))
