@@ -47,3 +47,26 @@ def test_cli_rejects_bad_magic(tmp_path):
     bad.write_bytes(b"NOPE" + b"\0" * 28)
     with pytest.raises(SystemExit):
         cli.main(["info", str(bad)])
+
+
+def test_cli_logical(tmp_path):
+    """logical subcommand: compressed-domain OR of three files."""
+    import numpy as np
+
+    from conftest import random_bitmap
+    from wah_tpu.__main__ import main
+
+    cols = [random_bitmap(992 + 37, d, seed=80 + i)
+            for i, d in enumerate([1 / 16, 0.3, 0.0])]
+    paths = []
+    for i, c in enumerate(cols):
+        p = tmp_path / f"c{i}.bin"
+        p.write_bytes(c.astype("<u4").tobytes())
+        main(["compress", str(p), "-o", str(p) + ".wah", "--kernel", "xla"])
+        paths.append(str(p) + ".wah")
+    out = str(tmp_path / "or.wah")
+    main(["logical", "or", *paths, "-o", out, "--kernel", "xla"])
+    dec = str(tmp_path / "or.bin")
+    main(["decompress", out, "-o", dec, "--kernel", "xla"])
+    got = np.frombuffer(open(dec, "rb").read(), dtype="<u4")
+    np.testing.assert_array_equal(got, cols[0] | cols[1] | cols[2])

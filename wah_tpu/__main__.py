@@ -12,8 +12,12 @@ Usage:
     python -m wah_tpu compress  INPUT [-o OUTPUT.wah] [--kernel auto]
     python -m wah_tpu decompress INPUT.wah [-o OUTPUT] [--kernel auto]
     python -m wah_tpu info INPUT.wah
+    python -m wah_tpu logical OP A.wah B.wah [C.wah ...] -o OUT.wah
 Input bitmaps are raw little-endian uint32 words (any byte length; a
 trailing partial word is zero-padded and restored on decompress).
+`logical` combines compressed files in the compressed domain
+(op: and/or/xor/andnot; andnot is pairwise-left-folded, the rest use
+the fused k-way reduce); operands must decompress to equal lengths.
 """
 from __future__ import annotations
 
@@ -64,7 +68,35 @@ def main(argv=None) -> None:
             sp.add_argument("-o", "--output")
             sp.add_argument("--kernel", default="auto",
                             choices=["auto", "xla", "pallas", "native"])
+    sp = sub.add_parser("logical")
+    sp.add_argument("op", choices=["and", "or", "xor", "andnot"])
+    sp.add_argument("inputs", nargs="+")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--kernel", default="auto",
+                    choices=["auto", "xla", "pallas"])
     args = p.parse_args(argv)
+
+    if args.cmd == "logical":
+        from .api import WahCodec
+
+        pairs = [_read_wah(f) for f in args.inputs]
+        lengths = {ob for _, ob in pairs}
+        if len(lengths) != 1:
+            sys.exit(f"operands decompress to different lengths: {lengths}")
+        original_bytes = pairs[0][1]
+        n_ints = (original_bytes + 3) // 4
+        codec = WahCodec(kernel=args.kernel)
+        streams = [s for s, _ in pairs]
+        if args.op == "andnot" or len(streams) == 2:
+            acc = streams[0]
+            for s in streams[1:]:
+                acc = codec.logical(acc, s, args.op, n_ints)
+        else:
+            acc = codec.logical_many(streams, args.op, n_ints)
+        _write_wah(args.output, acc, original_bytes)
+        print(f"{args.op}({', '.join(args.inputs)}) -> {args.output} "
+              f"({acc.nbytes} B stream)")
+        return
 
     if args.cmd == "info":
         stream, original_bytes = _read_wah(args.input)
