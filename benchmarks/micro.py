@@ -166,7 +166,11 @@ def main() -> None:
                 @partial(jax.jit, static_argnums=(2,))
                 def loop(st, off, K):
                     def body(i, acc):
-                        out = fn(st, off.at[-1].add(acc & 1))
+                        # perturb a REAL input (first offset): nothing
+                        # in the kernel depends on offsets_ext[-1], so
+                        # perturbing it lets XLA hoist the whole stitch
+                        # out of the loop (measured: bogus timings)
+                        out = fn(st, off.at[0].add(acc & 1))
                         return acc + out[1].astype(jnp.int32)
 
                     return lax.fori_loop(0, K, body, jnp.int32(0))
