@@ -136,3 +136,17 @@ def test_sharded_decompress_rejects_corrupt_stream(mesh):
     codec = ShardedCodec(mesh)
     with pytest.raises(ValueError):
         codec.decompress(np.array([0x80000000], dtype=np.uint32))
+
+
+def test_sharded_codec_sparse_hint_roundtrip(mesh):
+    """Near-empty data drives the v1 stitch hint through the sharded
+    encode's static plumb (stitch_variant reaches the Pallas branch on
+    TPU; the CPU branch ignores it — this pins the plumbing compiles
+    and the stream stays golden)."""
+    from wah_tpu import golden
+
+    data = np.zeros(8 * BLOCK_INTS, dtype=np.uint32)
+    data[::4099] = 1
+    codec = ShardedCodec(mesh)
+    stream = codec.compress(data)
+    np.testing.assert_array_equal(stream, golden.encode(data))
