@@ -211,6 +211,12 @@ def main(argv=None) -> None:
         got = codec.logical(sa, sb, op, n_ints=len(a))
         want = golden.encode(npop(a, b).astype(np.uint32))
         lchecks[op] = bool(np.array_equal(got, want))
+    # k-way fused reduce (flattened batch decode + reduce + encode)
+    c = _bernoulli(8 * BLOCK_INTS, 0.3, 32)
+    got3 = codec.logical_many([sa, sb, golden.encode(c)], "or", len(a))
+    lchecks["many_or"] = bool(
+        np.array_equal(got3, golden.encode((a | b | c).astype(np.uint32)))
+    )
     record("logical_ops", lchecks)
 
     # ---- sharded codec on a 1-device TPU mesh ---------------------------
