@@ -115,3 +115,26 @@ def test_stitch_hint_selection():
     # huge sparse bitmaps must avoid the SMEM-prefetch v1 stitch
     huge = np.zeros(1 << 27, np.uint32)
     assert WahCodec._stitch_hint(huge) == "v3"
+
+
+def test_segmented_compress_decompress():
+    """Segmented codec: block-aligned segments concatenate to the exact
+    golden stream of the whole bitmap and roundtrip at any size."""
+    from conftest import clustered_bitmap, random_bitmap
+    from wah_tpu import golden
+    from wah_tpu.api import WahCodec
+    from wah_tpu.constants import BLOCK_INTS
+
+    codec = WahCodec(kernel="xla")
+    seg = 2 * BLOCK_INTS
+    for data in (
+        random_bitmap(7 * BLOCK_INTS + 123, 1 / 16, seed=91),
+        clustered_bitmap(6 * BLOCK_INTS, seed=92),
+        np.zeros(5 * BLOCK_INTS, np.uint32),
+    ):
+        stream = codec.compress_segments(data, segment_ints=seg)
+        np.testing.assert_array_equal(stream, golden.encode(data))
+        out = codec.decompress_segments(
+            stream, out_ints=len(data), segment_ints=seg
+        )
+        np.testing.assert_array_equal(out, data)

@@ -298,6 +298,69 @@ class WahCodec:
         )
         return np.asarray(words[: int(total)])
 
+    def compress_segments(
+        self, data: np.ndarray, segment_ints: int = 1 << 28
+    ) -> np.ndarray:
+        """Compress a bitmap of ANY size as block-aligned segments.
+
+        The int32 chunk-position limit caps one compress() call at
+        ~8.3 GB (_check_size). Segments that are multiples of 992 ints
+        start exactly at 1024-chunk block boundaries, and fill runs
+        never cross those (SURVEY.md §0.1) — so concatenating the
+        per-segment streams IS the whole bitmap's stream, bit-identical
+        to a single golden encode."""
+        data = np.ascontiguousarray(data, dtype=np.uint32)
+        assert segment_ints % BLOCK_INTS == 0, segment_ints
+        _check_size(segment_ints)
+        if data.shape[0] <= segment_ints:
+            return self.compress(data)[0]
+        parts = [
+            self.compress(data[i : i + segment_ints])[0]
+            for i in range(0, data.shape[0], segment_ints)
+        ]
+        return np.concatenate(parts)
+
+    def decompress_segments(
+        self,
+        words: np.ndarray,
+        out_ints: int,
+        segment_ints: int = 1 << 28,
+    ) -> np.ndarray:
+        """Inverse of compress_segments for streams of ANY size.
+
+        Splits the stream at the word positions covering each
+        segment's first chunk (exact: segment edges are block edges, so
+        no fill crosses them), decodes each segment independently, and
+        concatenates."""
+        words = np.ascontiguousarray(words, dtype=np.uint32)
+        assert segment_ints % BLOCK_INTS == 0, segment_ints
+        if out_ints <= segment_ints:
+            out, _ = self.decompress(words, out_ints=out_ints)
+            return out
+        is_fill = (words & np.uint32(BIT31)) != 0
+        counts = np.where(
+            is_fill, (words & np.uint32(LEN_MASK)).astype(np.int64), 1
+        )
+        ccum = np.cumsum(counts)
+        seg_chunks = (segment_ints // BLOCK_INTS) * BLOCK_CHUNKS
+        n_segs = -(-out_ints // segment_ints)
+        edges_c = np.arange(1, n_segs, dtype=np.int64) * seg_chunks
+        # word index where each segment starts: first word whose
+        # cumulative chunk count exceeds the edge (edges fall exactly
+        # between words — block alignment)
+        edges_w = np.searchsorted(ccum, edges_c, side="left") + 1
+        assert np.array_equal(ccum[edges_w - 1], edges_c), (
+            "stream does not split at block-aligned segment edges"
+        )
+        bounds = [0, *edges_w.tolist(), words.shape[0]]
+        outs = []
+        for s in range(n_segs):
+            seg = words[bounds[s] : bounds[s + 1]]
+            ni = min(segment_ints, out_ints - s * segment_ints)
+            out, _ = self.decompress(seg, out_ints=ni)
+            outs.append(out)
+        return np.concatenate(outs)
+
     def logical_many(
         self, streams, op: str, n_ints: int
     ) -> np.ndarray:
