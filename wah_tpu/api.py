@@ -349,9 +349,11 @@ class WahCodec:
         # cumulative chunk count exceeds the edge (edges fall exactly
         # between words — block alignment)
         edges_w = np.searchsorted(ccum, edges_c, side="left") + 1
-        assert np.array_equal(ccum[edges_w - 1], edges_c), (
-            "stream does not split at block-aligned segment edges"
-        )
+        if not np.array_equal(ccum[edges_w - 1], edges_c):
+            raise ValueError(
+                "stream does not split at block-aligned segment edges "
+                "(wrong segment_ints, or not a WAH stream)"
+            )
         bounds = [0, *edges_w.tolist(), words.shape[0]]
         outs = []
         for s in range(n_segs):
