@@ -42,6 +42,7 @@ from ...constants import (
 )
 from .common import (
     cummax_lanes,
+    rebase_exclusive_per_col,
     cummax_lanes_wide,
     cumsum_lanes,
     cumsum_lanes_wide,
@@ -423,14 +424,9 @@ def decode_batch(
     cnt = jnp.where(iw[None, :] < ms[:, None], cnt, _I(0))
     rows_per_col = Mcap // L
     row_sums = jnp.sum(cnt.reshape(C * rows_per_col, L), axis=1, dtype=_I)
-    cf = jnp.cumsum(row_sums, dtype=_I).reshape(C, rows_per_col)
-    ends = cf[:, -1]
-    starts = jnp.concatenate([jnp.zeros((1,), _I), ends[:-1]])
-    col_base = jnp.arange(C, dtype=_I) * _I(cap)
-    row_base = (
-        cf - row_sums.reshape(C, rows_per_col)
-        + (col_base - starts)[:, None]
-    ).reshape(-1)
+    row_base, col_totals = rebase_exclusive_per_col(
+        row_sums, C, rows_per_col, cap
+    )
 
     nbo = cap // L  # blocks per column
     nbo_t = C * nbo
@@ -457,7 +453,7 @@ def decode_batch(
     # the zero-padding analysis above makes it redundant
     meta = jnp.stack(
         [
-            ends[0] - starts[0],
+            col_totals[0],
             _I(C * Mcap),
             _I(0),
             _I(cap - 1),

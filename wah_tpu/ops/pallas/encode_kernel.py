@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import BIT31, BIT3130, BLOCK_CHUNKS, BLOCK_INTS, ONES31
 from .common import (
+    rebase_exclusive_per_col,
     cummax_lanes,
     cummax_lanes_wide,
     cumsum_lanes,
@@ -753,17 +754,9 @@ def encode_padded_batch(
         ints2d = cols_g.reshape(G * nb, BLOCK_INTS).astype(_U)
         staging, counts = encode_tiles(ints2d, nv3)
         rc = counts[:, 0]
-        # per-column exclusive offsets from ONE flat 1-D cumsum (XLA's
-        # 2-D axis=1 cumsum lowered ~50 ms for (256, 2048) on v5e vs
-        # ~0.2 ms flat): subtract each column's global start, add its
-        # capacity base.
-        cf = jnp.cumsum(rc, dtype=_I).reshape(G, nb)  # inclusive, global
-        ends = cf[:, -1]
-        starts = jnp.concatenate([jnp.zeros((1,), _I), ends[:-1]])
-        totals_g = ends - starts
-        base = jnp.arange(G, dtype=_I) * _I(col_chunks)
-        off = cf - rc.reshape(G, nb) + (base - starts)[:, None]
-        offsets = off.reshape(-1)
+        offsets, totals_g = rebase_exclusive_per_col(
+            rc, G, nb, col_chunks
+        )
         offsets_ext = jnp.concatenate([offsets, offsets[-1:] + rc[-1:]])
         words = stitch_tiles_v2(staging, offsets_ext, counts=rc)
         return words, totals_g
