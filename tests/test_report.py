@@ -56,3 +56,22 @@ def test_generate_random_data_slab_invariance():
         .reshape(-1)
     )
     np.testing.assert_array_equal(generate_random_data(n, 16), want)
+
+
+def test_summarize_markdown(tmp_path):
+    """summarize renders one md row per size plus the all-row, with
+    GB/s aggregated from the throughput columns."""
+    from benchmarks import summarize
+
+    out = tmp_path / "r.txt"
+    report.main(
+        ["--sizes", "1", "--densities", "2", "12", "--reps", "1",
+         "--out", str(out), "--kernel", "xla"]
+    )
+    rows = summarize.load_rows(str(out))
+    assert len(rows) == 2
+    md = summarize.summarize(rows)
+    lines = md.splitlines()
+    assert lines[0].startswith("| bitmap ")
+    assert len(lines) == 4  # header, sep, one size row, all-row
+    assert "4.1 MB" in lines[2] and "| 2 |" in lines[2]
