@@ -76,15 +76,34 @@ def summarize(rows: list[dict]) -> str:
     return "\n".join(out)
 
 
+MARK_BEGIN = "<!-- sweep-summary:begin -->"
+MARK_END = "<!-- sweep-summary:end -->"
+
+
+def inject(md_path: str, table: str) -> None:
+    """Replace the sweep-summary marker block in a Markdown file."""
+    text = open(md_path).read()
+    lo = text.index(MARK_BEGIN) + len(MARK_BEGIN)
+    hi = text.index(MARK_END)
+    open(md_path, "w").write(text[:lo] + "\n" + table + "\n" + text[hi:])
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("results", help="sweep CSV (benchmarks.report schema)")
+    p.add_argument("--inject", metavar="MD",
+                   help="rewrite MD's sweep-summary marker block in "
+                        "place instead of printing")
     args = p.parse_args(argv)
     rows = load_rows(args.results)
     if not rows:
         print("no data rows found", file=sys.stderr)
         sys.exit(1)
-    print(summarize(rows))
+    table = summarize(rows)
+    if args.inject:
+        inject(args.inject, table)
+    else:
+        print(table)
 
 
 if __name__ == "__main__":

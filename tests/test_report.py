@@ -75,3 +75,17 @@ def test_summarize_markdown(tmp_path):
     assert lines[0].startswith("| bitmap ")
     assert len(lines) == 4  # header, sep, one size row, all-row
     assert "4.1 MB" in lines[2] and "| 2 |" in lines[2]
+
+
+def test_summarize_inject(tmp_path):
+    from benchmarks import summarize
+
+    md = tmp_path / "x.md"
+    md.write_text(
+        "head\n<!-- sweep-summary:begin -->\nstale\n"
+        "<!-- sweep-summary:end -->\ntail\n"
+    )
+    summarize.inject(str(md), "| new |")
+    text = md.read_text()
+    assert "stale" not in text and "| new |" in text
+    assert text.startswith("head\n") and text.endswith("tail\n")
