@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import time
 from contextlib import contextmanager
-from functools import partial
 from typing import Callable
 
 import jax
@@ -34,8 +33,10 @@ def trace(logdir: str = "/tmp/wah_tpu_trace"):
 def amortized_seconds(
     step: Callable[..., jax.Array],
     *args,
-    iters: int = 5,
+    iters: int = 8,
     reps: int = 3,
+    max_iters: int = 1 << 16,
+    rel_tol: float = 0.15,
 ) -> float:
     """Marginal per-iteration device time of `step(perturb, *args)`.
 
@@ -43,32 +44,71 @@ def amortized_seconds(
     loop carry — thread it into some cheap input so XLA cannot hoist
     the body out of the loop) and returns a scalar that data-depends on
     all work of interest.
+
+    Methodology (round-3 rework; the two-point (t_K - t_1)/(K - 1) form
+    published a physically impossible 73 GB/s for a 4 MB config in the
+    round-2 sweep): the loop bound is a TRACED argument (one compile
+    covers every K), K escalates until the loop body dominates the
+    single-dispatch baseline b1 by >= 4x — through the remote PJRT
+    tunnel b1 is ~100 ms of link latency, far above the marginal work
+    of small configs — and the returned slope is measured between K and
+    2K (two *large* timings whose shared dispatch cost cancels), cross-
+    checked against the (b1, bK) slope. Disagreement beyond rel_tol
+    doubles K and remeasures instead of publishing a noise-born number.
     """
 
-    @partial(jax.jit, static_argnums=(0,))
+    @jax.jit
     def loop(k, *a):
         def body(i, acc):
             p = (acc & 1).astype(jnp.int32)
-            return acc + step(p, *a).astype(jnp.int64)
+            return acc + step(p, *a).astype(jnp.int32)
 
-        return jax.lax.fori_loop(0, k, body, jnp.int64(0))
+        return jax.lax.fori_loop(
+            0, k, body, jnp.int32(0), unroll=False
+        )
+
+    warmed = False
 
     def best(k):
-        int(loop(k, *args))  # compile + warm; scalar fetch forces exec
+        nonlocal warmed
+        kj = jnp.int32(k)
+        if not warmed:
+            jax.block_until_ready(loop(jnp.int32(1), *args))
+            warmed = True
+        int(loop(kj, *args))  # warm this k; scalar fetch forces exec
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            int(loop(k, *args))
+            int(loop(kj, *args))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    # Dispatch noise (worst over a network-tunneled PJRT link) can
-    # exceed the marginal work of a small config, making the naive
-    # two-point slope negative. Grow the loop until the extra
-    # iterations dominate the single-dispatch baseline.
     b1 = best(1)
     k, bk = iters, best(iters)
-    while bk < 2.0 * b1 and k < 1024:
-        k *= 4
+    # escalate geometrically toward bk >= 4*b1, using the running slope
+    # to jump straight to the right magnitude (a fixed x4 ladder pays
+    # several extra ~100 ms dispatch rounds per tiny config). Budget
+    # cap: never aim past ~2.5 s of loop body per dispatch — a noisy
+    # slope estimate once escalated a 0.15 ms/iter config to 2^16
+    # iterations (~10 s dispatches, ~2 min per measurement).
+    while bk < 4.0 * b1 and k < max_iters:
+        slope = max((bk - b1) / (k - 1), 1e-12)
+        k_target = max(2 * k, int(3.2 * b1 / slope) + 1)
+        k_budget = max(2 * k, int(2.5 / slope))
+        k = min(max_iters, k_target, k_budget)
         bk = best(k)
-    return max(bk - b1, 1e-12) / (k - 1)
+        if bk > b1 + 2.5:
+            break
+
+    for _ in range(3):
+        b2k = best(2 * k)
+        s_hi = max(b2k - bk, 1e-12) / k  # dispatch cost cancels
+        s_lo = max(bk - b1, 1e-12) / (k - 1)
+        if (
+            abs(s_hi - s_lo) <= rel_tol * max(s_hi, s_lo)
+            or k >= max_iters
+            or b2k > b1 + 6.0
+        ):
+            return s_hi
+        k, bk = 2 * k, b2k  # unstable: double the window and retry
+    return s_hi
