@@ -138,6 +138,50 @@ def test_sharded_decompress_rejects_corrupt_stream(mesh):
         codec.decompress(np.array([0x80000000], dtype=np.uint32))
 
 
+def test_sharded_pallas_non_tile_multiple_shards(mesh):
+    """Per-shard block count NOT a TILE_BLOCKS multiple (nb_l = 12,
+    D = 8, interpreter TILE = 8): the Pallas kernels pad each shard to
+    16 rows, and the spurious-fill clamp (encode_kernel._clamped_nv)
+    must keep those padding rows from emitting zero-fill words on
+    non-final shards (their global chunk positions sit below the GLOBAL
+    n_valid_chunks). Forced onto the interpreted Pallas path under a
+    real 8-device shard_map — not the single-shard simulation in
+    test_pallas."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wah_tpu.parallel.dist import decode_sharded as dsh
+
+    D, nb = 8, 96  # nb_l = 12; 12 % 8 != 0
+    n = nb * BLOCK_INTS
+    rng = np.random.default_rng(42)
+    data = np.where(
+        rng.random(n) < 0.5, rng.integers(0, 1 << 32, n, dtype=np.uint64), 0
+    ).astype(np.uint32)
+    data[2 * BLOCK_INTS : 5 * BLOCK_INTS] = 0  # fills inside shard 0
+    data[-3 * BLOCK_INTS :] = 0xFFFFFFFF  # one-fill tail on shard 7
+    nv = chunk_count(n)
+    ref = golden.encode(data)
+
+    dev = jax.device_put(data, NamedSharding(mesh, P("blocks")))
+    words, totals = encode_sharded(
+        mesh, dev, np.int32(nv), use_pallas=True
+    )
+    np.testing.assert_array_equal(gather_stream(words, totals), ref)
+
+    # decode back through the sharded Pallas decoder (chunks_l = 12*1024)
+    cap = nb * BLOCK_CHUNKS
+    M = 1 << (len(ref) - 1).bit_length()
+    padded = np.zeros(max(M, 1024), np.uint32)
+    padded[: len(ref)] = ref
+    ints, n_chunks = dsh(
+        mesh, jax.device_put(padded), np.int32(len(ref)), cap,
+        use_pallas=True,
+    )
+    assert int(np.asarray(n_chunks)[0]) == nv
+    out = gather_bitmap(ints, (31 * nv + 31) // 32)
+    np.testing.assert_array_equal(out[:n], data)
+
+
 def test_sharded_codec_sparse_hint_roundtrip(mesh):
     """Near-empty data drives the v1 stitch hint through the sharded
     encode's static plumb (stitch_variant reaches the Pallas branch on

@@ -95,3 +95,41 @@ def test_logical_many_matches_pairwise():
         np.testing.assert_array_equal(
             codec.logical_many(streams, "xor", n), golden.encode(ex)
         )
+
+
+def test_logical_many_nonpow2_fanin():
+    """k=5 exercises the identity-stream padding to a pow2 tree: AND
+    pads with all-ones streams, OR/XOR with all-zeros streams."""
+    n = 992 + 37
+    cols = [random_bitmap(n, d, seed=80 + i)
+            for i, d in enumerate([0.02, 0.6, 0.0, 1.0, 1 / 32])]
+    streams = [golden.encode(c) for c in cols]
+    for kernel in ("xla", "pallas"):
+        codec = WahCodec(kernel=kernel)
+        for op, fold in (("or", np.bitwise_or), ("and", np.bitwise_and),
+                         ("xor", np.bitwise_xor)):
+            want = golden.encode(fold.reduce(cols))
+            np.testing.assert_array_equal(
+                codec.logical_many(streams, op, n), want,
+                err_msg=f"{kernel}/{op}",
+            )
+
+
+def test_logical_many_wide_fanin():
+    """k=64 — real query fan-in; O(log k) tree depth on both routes."""
+    n = 992 + 11
+    cols = [
+        random_bitmap(n, (0.03 if i % 3 else 0.5), seed=300 + i)
+        for i in range(64)
+    ]
+    streams = [golden.encode(c) for c in cols]
+    want = golden.encode(np.bitwise_or.reduce(cols))
+    for kernel in ("xla", "pallas"):
+        codec = WahCodec(kernel=kernel)
+        np.testing.assert_array_equal(
+            codec.logical_many(streams, "or", n), want, err_msg=kernel
+        )
+    wanta = golden.encode(np.bitwise_and.reduce(cols))
+    np.testing.assert_array_equal(
+        WahCodec(kernel="xla").logical_many(streams, "and", n), wanta
+    )

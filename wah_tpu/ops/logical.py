@@ -83,6 +83,24 @@ def logical_op(
     return enc(combined[:pad_ints], nv)
 
 
+def _identity_words(op: str, nv: int, M: int) -> tuple[jnp.ndarray, int]:
+    """(M,) constant identity stream for op-padding a k-way reduce to a
+    power-of-two fan-in: all-ones bitmap for AND, all-zeros for OR/XOR
+    — as proper fill streams (one fill word per 1024-chunk block) so the
+    flattened batch decoder's uniform-expansion contract holds for the
+    padding columns too. Returns (words, word count)."""
+    import numpy as np
+
+    nb = -(-nv // BLOCK_CHUNKS)
+    assert M >= nb, (M, nb)
+    lens = np.full(nb, BLOCK_CHUNKS, np.uint32)
+    lens[-1] = nv - (nb - 1) * BLOCK_CHUNKS
+    hdr = np.uint32(BIT3130 if op == "and" else BIT31)
+    out = np.zeros(M, np.uint32)
+    out[:nb] = hdr | lens
+    return jnp.asarray(out), nb
+
+
 def logical_reduce(
     words2d: jnp.ndarray,
     ms: jnp.ndarray,
@@ -94,30 +112,55 @@ def logical_reduce(
     OR over membership columns) pay ONE flattened batch decode + one
     elementwise reduce + ONE encode instead of k-1 pairwise
     decode+decode+encode pipelines (~3x less codec work for large k).
-    """
+
+    The reduce is a TREE fold over halves of the decoded buffer —
+    O(log C) graph depth and at most 2x one decode output of extra
+    element traffic — padded to a power-of-two fan-in with identity
+    streams. The flat Pallas batch output is folded by 1-D halving
+    slices, never reshaped to (C, len) on device (a layout-changing
+    reshape of a large kernel output costs a full HBM copy, ~55 ms for
+    2.1 GB on v5e — measured, see CLAUDE.md)."""
     assert op in ("or", "and", "xor"), op  # andnot is not associative
     fn = OPS[op]
     from ..golden import chunk_count
 
     C = words2d.shape[0]
+    M = words2d.shape[1]
     nv = chunk_count(n_ints)
     nb = -(-nv // BLOCK_CHUNKS)
     pad_ints = nb * BLOCK_INTS
+    Cp = 1 << max(0, (C - 1).bit_length())
+    if Cp != C:
+        idw, mi = _identity_words(op, nv, M)
+        words2d = jnp.concatenate(
+            [words2d, jnp.broadcast_to(idw, (Cp - C, M))]
+        )
+        ms = jnp.concatenate(
+            [jnp.asarray(ms, _I), jnp.full((Cp - C,), mi, _I)]
+        )
     if jax.default_backend() != "cpu":
         from .pallas.decode_kernel import TILE_BLOCKS as _DT
         from .pallas.decode_kernel import decode_batch
 
         nbp = max(_DT, 1 << (nb - 1).bit_length())
         flat = decode_batch(words2d, ms, nbp * BLOCK_CHUNKS)
-        ints2d = flat.reshape(C, -1)
+        collen = nbp * BLOCK_INTS
+        c = Cp
+        while c > 1:
+            h = c // 2
+            flat = fn(flat[: h * collen], flat[h * collen :])
+            c = h
+        acc = flat[:pad_ints]
     else:
         ints2d, _ = _dec.decode_batch(
             words2d, ms, chunk_capacity=nb * BLOCK_CHUNKS
         )
-    acc = ints2d[0]
-    for c in range(1, C):
-        acc = fn(acc, ints2d[c])
-    acc = acc[:pad_ints]
+        c = Cp
+        while c > 1:
+            h = c // 2
+            ints2d = fn(ints2d[:h], ints2d[h:])
+            c = h
+        acc = ints2d[0][:pad_ints]
     i = jnp.arange(pad_ints, dtype=_I)
     acc = jnp.where(i * 32 < n_ints * 32, acc, _U(0))
     if jax.default_backend() != "cpu":

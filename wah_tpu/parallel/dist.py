@@ -68,19 +68,28 @@ def make_mesh(devices=None) -> Mesh:
 # encode
 # --------------------------------------------------------------------------
 
-def _encode_local(ints_l: jnp.ndarray, nv: jnp.ndarray, stitch_variant: str = "v3"):
+def _encode_local(
+    ints_l: jnp.ndarray,
+    nv: jnp.ndarray,
+    stitch_variant: str = "v3",
+    use_pallas: bool | None = None,
+):
     """Per-shard encode: (nb_l*992,) ints -> (nb_l*1024,) words, (1,) total.
 
     On TPU backends each shard runs the fused Pallas kernels; elsewhere
     (CPU meshes, tests) the pure-XLA pipeline. Both are bit-identical.
     stitch_variant: static choice (see encode_kernel.encode_padded) —
     default v3, the constant-cost stitch; ShardedCodec passes the
-    host-sampled hint.
+    host-sampled hint. use_pallas overrides the backend-based selection
+    (tests force the interpreted Pallas kernels under a CPU shard_map to
+    exercise their shard-padding semantics on real mesh geometries).
     """
     nb_l = ints_l.shape[0] // BLOCK_INTS
     shard = jax.lax.axis_index(AXIS).astype(_I)
     chunk_base = shard * _I(nb_l * BLOCK_CHUNKS)
-    if jax.default_backend() != "cpu":
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
         from ..ops.pallas import encode_kernel
 
         words_l, total_l = encode_kernel.encode_padded(
@@ -94,7 +103,11 @@ def _encode_local(ints_l: jnp.ndarray, nv: jnp.ndarray, stitch_variant: str = "v
 
 
 def encode_sharded(
-    mesh: Mesh, ints: jnp.ndarray, n_valid_chunks, stitch: str = "v3"
+    mesh: Mesh,
+    ints: jnp.ndarray,
+    n_valid_chunks,
+    stitch: str = "v3",
+    use_pallas: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed encode over `mesh`.
 
@@ -109,7 +122,9 @@ def encode_sharded(
     # check_vma=False: the local body may invoke Pallas kernels, whose
     # out_shapes don't carry the varying-axis metadata the checker needs
     f = jax.shard_map(
-        partial(_encode_local, stitch_variant=stitch),
+        partial(
+            _encode_local, stitch_variant=stitch, use_pallas=use_pallas
+        ),
         mesh=mesh,
         in_specs=(P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS)),
@@ -180,16 +195,24 @@ def gather_stream(words: jax.Array, totals: jax.Array) -> np.ndarray:
 # decode
 # --------------------------------------------------------------------------
 
-def _decode_local(words: jnp.ndarray, m: jnp.ndarray, chunks_l: int):
+def _decode_local(
+    words: jnp.ndarray,
+    m: jnp.ndarray,
+    chunks_l: int,
+    use_pallas: bool | None = None,
+):
     """Per-shard decode of chunk span [shard*chunks_l, (shard+1)*chunks_l).
 
     words is replicated. Returns (ints_l (chunks_l//32*31,), n_chunks (1,)).
     On TPU backends with block-aligned shards each shard runs the fused
-    Pallas decoder; elsewhere the pure-XLA span decoder.
+    Pallas decoder; elsewhere the pure-XLA span decoder. use_pallas:
+    see _encode_local.
     """
     shard = jax.lax.axis_index(AXIS).astype(_I)
     base = shard * _I(chunks_l)
-    if jax.default_backend() != "cpu" and chunks_l % BLOCK_CHUNKS == 0:
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas and chunks_l % BLOCK_CHUNKS == 0:
         from ..ops.pallas import decode_kernel
 
         from ..ops.decode import word_counts
@@ -205,7 +228,11 @@ def _decode_local(words: jnp.ndarray, m: jnp.ndarray, chunks_l: int):
 
 
 def decode_sharded(
-    mesh: Mesh, words: jnp.ndarray, m, chunk_capacity: int
+    mesh: Mesh,
+    words: jnp.ndarray,
+    m,
+    chunk_capacity: int,
+    use_pallas: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed decode: replicated stream -> block-sharded bitmap.
 
@@ -218,7 +245,7 @@ def decode_sharded(
     assert chunk_capacity % (32 * D) == 0, (chunk_capacity, D)
     chunks_l = chunk_capacity // D
     f = jax.shard_map(
-        partial(_decode_local, chunks_l=chunks_l),
+        partial(_decode_local, chunks_l=chunks_l, use_pallas=use_pallas),
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(AXIS), P(AXIS)),
