@@ -2,23 +2,24 @@
 many column bitmaps encoded in one batched call on one chip.
 
 The reference has no batched mode: its model is one compress() call per
-column (compress.h:12). Here the column axis is a sequential lax.map
-over the fused Pallas kernels (api.compress_batch's TPU route); this
-harness measures aggregate GB/s and compares against the single-stream
-rate so the batch path is proven not to regress.
+column (compress.h:12). Here the column axis flattens into the block
+axis of ONE fused kernel pipeline (encode_rows_batch). This harness
+measures aggregate encode AND decode GB/s, and can also time the legacy
+(C, width)-input path whose device reshape to block rows is a full
+layout-changing HBM copy (--legacy2d; that copy was the round-2 batch
+gap: 15.9 vs 24 GB/s single-stream).
 
-Data is generated ON DEVICE (jax PRNG): 256 columns x 64 Mbit is 2 GB,
-which would take ~7 min to ship through the host tunnel; correctness of
-the batch route vs golden is pinned separately (tests/tpu_differential).
+Data is generated ON DEVICE in the rows layout (jax PRNG): 256 columns
+x 64 Mbit is 2 GB, which would take minutes to ship through the host
+tunnel; correctness of the batch route vs golden is pinned separately
+(tests/tpu_differential).
 
-    python -m benchmarks.batch_bench [--cols 256] [--mbit 64] [-K 3]
+    python -m benchmarks.batch_bench [--cols 256] [--mbit 64] [--legacy2d]
 """
 from __future__ import annotations
 
 import argparse
 import json
-import time
-from functools import partial
 
 import numpy as np
 
@@ -30,16 +31,19 @@ def main() -> None:
                     help="logical Mbit per column (rounded to blocks)")
     ap.add_argument("--log2density", type=int, default=4,
                     help="P(bit)=2^-k via AND of k random words (exact)")
-    ap.add_argument("-K", type=int, default=3)
+    ap.add_argument("--legacy2d", action="store_true",
+                    help="also time the (C, width)-input path (pays the "
+                         "device rows-reshape)")
+    ap.add_argument("--no-decode", action="store_true")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
-    from wah_tpu.constants import BLOCK_INTS
+    from wah_tpu.constants import BLOCK_CHUNKS, BLOCK_INTS
     from wah_tpu.golden import chunk_count
-    from wah_tpu.ops.pallas import encode_kernel
+    from wah_tpu.ops.pallas import decode_kernel, encode_kernel
+    from wah_tpu.utils.profiling import amortized_seconds
 
     C = args.cols
     # pow2 blocks per column (the api's bucketing policy; the flattened
@@ -54,56 +58,79 @@ def main() -> None:
 
     @jax.jit
     def gen(key):
-        # device-resident columns, no host transfer: AND of k random
-        # words gives P(bit set) = 2^-k exactly
+        # device-resident columns born in the rows layout; AND of k
+        # random words gives P(bit set) = 2^-k exactly
         def body(i, acc):
             return acc & jax.random.bits(
-                jax.random.fold_in(key, i), (C, n), jnp.uint32
+                jax.random.fold_in(key, i), (C * nb, BLOCK_INTS),
+                jnp.uint32,
             )
 
-        acc0 = jax.random.bits(key, (C, n), jnp.uint32)
+        acc0 = jax.random.bits(key, (C * nb, BLOCK_INTS), jnp.uint32)
         return jax.lax.fori_loop(1, k, body, acc0)
 
-    cols = gen(jax.random.PRNGKey(1337))
-    cols.block_until_ready()
+    rows = gen(jax.random.PRNGKey(1337))
+    rows.block_until_ready()
+    out = {
+        "metric": "batch_codec_throughput_1chip",
+        "cols": C,
+        "mbit_per_col": round(n * 32 / 1e6, 1),
+        "density": 2.0 ** -args.log2density,
+        "unit": "GB/s",
+    }
 
-    @partial(jax.jit, static_argnums=(2,))
-    def batch_loop(cols, nvv, K):
-        def body(i, acc):
-            words, totals = encode_kernel.encode_padded_batch(
-                cols, nvv - (acc & 1)
-            )
-            return acc + jnp.sum(totals, dtype=jnp.int32) + words[
-                1
-            ].astype(jnp.int32)
-
-        return lax.fori_loop(0, K, body, jnp.int32(0))
-
-    def best(K, reps=3):
-        int(batch_loop(cols, nv, K))
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            int(batch_loop(cols, nv, K))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    K = args.K
-    secs = (best(K) - best(1)) / (K - 1)
-    gbps = nbytes / secs / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": "batch_encode_throughput_1chip",
-                "cols": C,
-                "mbit_per_col": round(n * 32 / 1e6, 1),
-                "density": 2.0 ** -args.log2density,
-                "value": round(gbps, 3),
-                "unit": "GB/s",
-                "per_call_ms": round(secs * 1e3, 3),
-            }
+    def enc_step(p, r, nvv):
+        words, totals = encode_kernel.encode_rows_batch(r, C, nvv - p)
+        return jnp.sum(totals, dtype=jnp.int32) + words[1].astype(
+            jnp.int32
         )
-    )
+
+    secs = amortized_seconds(enc_step, rows, nv)
+    out["encode_gbps"] = round(nbytes / secs / 1e9, 3)
+    out["encode_ms"] = round(secs * 1e3, 3)
+    print(f"encode: {out['encode_gbps']} GB/s", flush=True)
+
+    if args.legacy2d:
+        cols2d = rows.reshape(C, nb * BLOCK_INTS)
+        cols2d.block_until_ready()
+
+        def enc2d_step(p, c2, nvv):
+            words, totals = encode_kernel.encode_padded_batch(
+                c2, nvv - p
+            )
+            return jnp.sum(totals, dtype=jnp.int32) + words[1].astype(
+                jnp.int32
+            )
+
+        s2 = amortized_seconds(enc2d_step, cols2d, nv)
+        out["encode_legacy2d_gbps"] = round(nbytes / s2 / 1e9, 3)
+        print(f"encode legacy2d: {out['encode_legacy2d_gbps']} GB/s",
+              flush=True)
+        del cols2d
+
+    if not args.no_decode:
+        # build the compressed batch once; the stitch's unspecified
+        # tails are legal decode_rows_batch input (masked in-kernel-view)
+        enc = jax.jit(
+            lambda r, nvv: encode_kernel.encode_rows_batch(r, C, nvv)
+        )
+        words_flat, totals = enc(rows, nv)
+        jax.block_until_ready((words_flat, totals))
+        del rows
+        cap = nb * BLOCK_CHUNKS
+
+        def dec_step(p, wf, t):
+            flat = decode_kernel.decode_rows_batch(
+                wf, C, t - p, col_chunk_capacity=cap
+            )
+            return flat[1].astype(jnp.int32) + flat[-1].astype(jnp.int32)
+
+        sd = amortized_seconds(dec_step, words_flat, totals)
+        out["decode_gbps"] = round(nbytes / sd / 1e9, 3)
+        out["decode_ms"] = round(sd * 1e3, 3)
+        print(f"decode: {out['decode_gbps']} GB/s", flush=True)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -18,14 +18,14 @@ print('sanity:', int(jax.device_put(jnp.arange(8)).sum()))" \
 echo "[hw_queue] differential matrix" >&2
 timeout 3000 python -u tests/tpu_differential.py --out TPU_DIFF.json \
     > "$LOG/diff.log" 2>&1
-grep -q "25/25 differential cases bit-exact" "$LOG/diff.log" \
+grep -q "DIFFERENTIAL OK" "$LOG/diff.log" \
     || { echo "[hw_queue] DIFFERENTIAL FAILED — stopping" >&2; exit 2; }
 
 echo "[hw_queue] headline bench" >&2
 timeout 580 python -u bench.py > "$LOG/bench.log" 2>&1
 
 echo "[hw_queue] batch bench" >&2
-timeout 580 python -u -m benchmarks.batch_bench --cols 256 --mbit 64 -K 3 \
+timeout 1200 python -u -m benchmarks.batch_bench --cols 256 --mbit 64 \
     > "$LOG/batch.log" 2>&1
 
 echo "[hw_queue] decode micro" >&2

@@ -66,6 +66,19 @@ def test_validate_stream_rejects_bad():
         validate_stream(np.array([0x80000000], dtype=U))  # zero-length fill
 
 
+def test_foreign_wah_long_fill_rejected():
+    """Interop envelope (README): a stream from a general WAH encoder
+    may carry fill lengths up to 2^30-1 (the format limit the reference
+    decoder masks with 0x3FFFFFFF, kernels.cu:300,334), but this codec
+    only accepts the block invariant it emits — fills in [1, 1024].
+    Pins the rejection and its message."""
+    foreign = np.array([0x80000000 | 2048], dtype=U)  # legal WAH, >1024
+    with pytest.raises(ValueError, match="fill length out of range"):
+        validate_stream(foreign)
+    with pytest.raises(ValueError, match="fill length out of range"):
+        WahCodec().decompress(foreign)
+
+
 def test_decompress_rejects_corrupt_stream():
     """Every decompress entry validates the stream first (the reference
     checks nothing, decompress.cu:48-52, and expands garbage)."""
@@ -138,3 +151,36 @@ def test_segmented_compress_decompress():
             stream, out_ints=len(data), segment_ints=seg
         )
         np.testing.assert_array_equal(out, data)
+
+
+def test_segmented_batch_compress_decompress():
+    """Column-segmented batched codec (BASELINE configs[3] machinery):
+    per-column streams equal the unsegmented golden streams and the
+    batched segment decode reproduces every column."""
+    from conftest import clustered_bitmap, random_bitmap
+    from wah_tpu import golden
+    from wah_tpu.api import WahCodec
+    from wah_tpu.constants import BLOCK_INTS
+
+    n = 5 * BLOCK_INTS + 201
+    cols = np.stack(
+        [
+            random_bitmap(n, 1 / 32, seed=60),
+            clustered_bitmap(n, seed=61),
+            np.zeros(n, np.uint32),
+            random_bitmap(n, 0.5, seed=62),
+        ]
+    )
+    for kernel in ("xla", "pallas"):
+        codec = WahCodec(kernel=kernel)
+        streams = codec.compress_batch_segments(
+            cols, segment_ints=2 * BLOCK_INTS
+        )
+        for c in range(cols.shape[0]):
+            np.testing.assert_array_equal(
+                streams[c], golden.encode(cols[c]), err_msg=f"{kernel}/{c}"
+            )
+        out = codec.decompress_batch_segments(
+            streams, out_ints=n, segment_ints=2 * BLOCK_INTS
+        )
+        np.testing.assert_array_equal(out, cols, err_msg=kernel)

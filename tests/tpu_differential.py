@@ -217,7 +217,59 @@ def main(argv=None) -> None:
     lchecks["many_or"] = bool(
         np.array_equal(got3, golden.encode((a | b | c).astype(np.uint32)))
     )
+    # k=16 fan-in (pow2 tree, no identity padding) and k=13 (padded)
+    kcols = [
+        _bernoulli(8 * BLOCK_INTS, d, 100 + i)
+        for i, d in enumerate(
+            [2.0**-10, 0.4, 0.0, 2.0**-4, 1.0, 0.01] * 3
+        )
+    ]
+    for kk in (16, 13):
+        ks = [golden.encode(x) for x in kcols[:kk]]
+        want = golden.encode(np.bitwise_or.reduce(kcols[:kk]))
+        lchecks[f"many_or_k{kk}"] = bool(
+            np.array_equal(
+                codec.logical_many(ks, "or", 8 * BLOCK_INTS), want
+            )
+        )
+    wanta = golden.encode(np.bitwise_and.reduce(kcols[:16]))
+    lchecks["many_and_k16"] = bool(
+        np.array_equal(
+            codec.logical_many(
+                [golden.encode(x) for x in kcols[:16]],
+                "and",
+                8 * BLOCK_INTS,
+            ),
+            wanta,
+        )
+    )
     record("logical_ops", lchecks)
+
+    # ---- column-segmented batched codec (configs[3] machinery) ----------
+    nseg = 3 * BLOCK_INTS + 77
+    segcols = np.stack(
+        [
+            _bernoulli(nseg, 2.0**-6, 50),
+            _bernoulli(nseg, 0.5, 51),
+            np.zeros(nseg, np.uint32),
+            _clustered(nseg, 52, 1.3),
+        ]
+    )
+    seg_streams = codec.compress_batch_segments(
+        segcols, segment_ints=BLOCK_INTS
+    )
+    seg_enc_ok = all(
+        np.array_equal(seg_streams[c], golden.encode(segcols[c]))
+        for c in range(4)
+    )
+    seg_out = codec.decompress_batch_segments(
+        seg_streams, out_ints=nseg, segment_ints=BLOCK_INTS
+    )
+    record(
+        "batch_segments",
+        {"seg_enc": bool(seg_enc_ok),
+         "seg_dec": bool(np.array_equal(seg_out, segcols))},
+    )
 
     # ---- sharded codec on a 1-device TPU mesh ---------------------------
     # Compiles the Pallas-kernels-under-shard_map branch of
@@ -254,6 +306,7 @@ def main(argv=None) -> None:
     )
     if fails:
         sys.exit(1)
+    print("DIFFERENTIAL OK", flush=True)
 
 
 if __name__ == "__main__":

@@ -195,11 +195,21 @@ class WahCodec:
             if use_pallas:
                 from .ops.pallas import encode_kernel
 
-                fn = jax.jit(encode_kernel.encode_padded_batch)
+                # rows-layout entry point: the host reshape is free,
+                # while reshaping a (C, nb*992) DEVICE array to block
+                # rows is a full layout-changing HBM copy (~22 ms/GB
+                # measured, benchmarks/batch_bench.py)
+                fn = jax.jit(partial(encode_kernel.encode_rows_batch, C=C))
             else:
                 fn = jax.jit(_encode_ops.encode_batch, static_argnums=(1,))
             self._encode_fns[key] = fn
-        words, totals = fn(jax.device_put(padded), np.int32(nv))
+        if use_pallas:
+            words, totals = fn(
+                jax.device_put(padded.reshape(C * nb, BLOCK_INTS)),
+                n_valid_chunks=np.int32(nv),
+            )
+        else:  # static_argnums jit: nv must stay positional
+            words, totals = fn(jax.device_put(padded), np.int32(nv))
         words = np.asarray(words)
         if words.ndim == 1:  # flat Pallas batch output (see its doc)
             words = words.reshape(C, -1)
@@ -246,9 +256,12 @@ class WahCodec:
             if use_pallas:
                 from .ops.pallas import decode_kernel
 
+                # flat-words entry point (see compress_batch note)
                 fn = jax.jit(
                     partial(
-                        decode_kernel.decode_batch, col_chunk_capacity=cap
+                        decode_kernel.decode_rows_batch,
+                        C=C,
+                        col_chunk_capacity=cap,
                     )
                 )
             else:
@@ -256,7 +269,8 @@ class WahCodec:
                     partial(_decode_ops.decode_batch, chunk_capacity=cap)
                 )
             self._decode_fns[key] = fn
-        res = fn(jax.device_put(words), totals.astype(np.int32))
+        dev_w = words.reshape(-1) if use_pallas else words
+        res = fn(jax.device_put(dev_w), ms=totals.astype(np.int32))
         if use_pallas:  # flat return (see decode_kernel.decode_batch)
             out = np.asarray(res).reshape(C, -1)
         else:
@@ -337,6 +351,51 @@ class WahCodec:
         if out_ints <= segment_ints:
             out, _ = self.decompress(words, out_ints=out_ints)
             return out
+        bounds = self._segment_edges(words, out_ints, segment_ints)
+        n_segs = len(bounds) - 1
+        outs = []
+        for s in range(n_segs):
+            seg = words[bounds[s] : bounds[s + 1]]
+            ni = min(segment_ints, out_ints - s * segment_ints)
+            out, _ = self.decompress(seg, out_ints=ni)
+            outs.append(out)
+        return np.concatenate(outs)
+
+    def compress_batch_segments(
+        self, data: np.ndarray, segment_ints: int = 1 << 23
+    ) -> list[np.ndarray]:
+        """Batched columns of ANY length: (C, n) -> C exact per-column
+        streams (BASELINE configs[3] is 256 columns x 1 Gbit = 32 GB
+        logical, past both the ~8.3 GB position cap and chip HBM).
+
+        Segments are block-aligned (segment_ints % 992 == 0), so each
+        column's concatenated per-segment streams ARE its whole-column
+        stream, bit-identical to compress_segments / the golden model
+        (fill runs never cross block boundaries, SURVEY.md §0.1). Each
+        segment is one flattened batched-kernel call over all C columns."""
+        data = np.ascontiguousarray(data, dtype=np.uint32)
+        assert segment_ints % BLOCK_INTS == 0, segment_ints
+        _check_size(segment_ints)
+        C, n = data.shape
+        if n <= segment_ints:
+            words, totals = self.compress_batch(data)
+            return [words[c, : totals[c]].copy() for c in range(C)]
+        parts: list[list[np.ndarray]] = [[] for _ in range(C)]
+        for lo in range(0, n, segment_ints):
+            words, totals = self.compress_batch(
+                data[:, lo : lo + segment_ints]
+            )
+            for c in range(C):
+                parts[c].append(words[c, : totals[c]])
+        return [np.concatenate(p) for p in parts]
+
+    @staticmethod
+    def _segment_edges(
+        words: np.ndarray, out_ints: int, segment_ints: int
+    ) -> list[int]:
+        """Word boundaries splitting a stream at block-aligned segment
+        edges (exact: no fill crosses them). Shared by the segmented
+        single-stream and batched decoders."""
         is_fill = (words & np.uint32(BIT31)) != 0
         counts = np.where(
             is_fill, (words & np.uint32(LEN_MASK)).astype(np.int64), 1
@@ -345,23 +404,58 @@ class WahCodec:
         seg_chunks = (segment_ints // BLOCK_INTS) * BLOCK_CHUNKS
         n_segs = -(-out_ints // segment_ints)
         edges_c = np.arange(1, n_segs, dtype=np.int64) * seg_chunks
-        # word index where each segment starts: first word whose
-        # cumulative chunk count exceeds the edge (edges fall exactly
-        # between words — block alignment)
         edges_w = np.searchsorted(ccum, edges_c, side="left") + 1
         if not np.array_equal(ccum[edges_w - 1], edges_c):
             raise ValueError(
                 "stream does not split at block-aligned segment edges "
                 "(wrong segment_ints, or not a WAH stream)"
             )
-        bounds = [0, *edges_w.tolist(), words.shape[0]]
-        outs = []
+        return [0, *edges_w.tolist(), words.shape[0]]
+
+    def decompress_batch_segments(
+        self,
+        streams: list[np.ndarray],
+        out_ints: int,
+        segment_ints: int = 1 << 23,
+    ) -> np.ndarray:
+        """Inverse of compress_batch_segments: C per-column streams ->
+        (C, out_ints) bitmaps, segment by segment (every segment is one
+        flattened batched decode; per-column expansions are equal within
+        a segment because the columns share the segment length)."""
+        assert segment_ints % BLOCK_INTS == 0, segment_ints
+        C = len(streams)
+        streams = [
+            np.ascontiguousarray(s, dtype=np.uint32) for s in streams
+        ]
+        if out_ints <= segment_ints:
+            M = max(len(s) for s in streams)
+            w2 = np.zeros((C, M), np.uint32)
+            totals = np.zeros((C,), np.int64)
+            for c, s in enumerate(streams):
+                w2[c, : len(s)] = s
+                totals[c] = len(s)
+            return self.decompress_batch(w2, totals, out_ints=out_ints)
+        bounds = [
+            self._segment_edges(s, out_ints, segment_ints) for s in streams
+        ]
+        n_segs = len(bounds[0]) - 1
+        out = np.empty((C, out_ints), np.uint32)
         for s in range(n_segs):
-            seg = words[bounds[s] : bounds[s + 1]]
+            segs = [
+                streams[c][bounds[c][s] : bounds[c][s + 1]]
+                for c in range(C)
+            ]
             ni = min(segment_ints, out_ints - s * segment_ints)
-            out, _ = self.decompress(seg, out_ints=ni)
-            outs.append(out)
-        return np.concatenate(outs)
+            M = max(len(x) for x in segs)
+            w2 = np.zeros((C, M), np.uint32)
+            totals = np.zeros((C,), np.int64)
+            for c, x in enumerate(segs):
+                w2[c, : len(x)] = x
+                totals[c] = len(x)
+            out[:, s * segment_ints : s * segment_ints + ni] = (
+                self.decompress_batch(w2, totals, out_ints=ni)
+            )
+        return out
 
     def logical_many(
         self, streams, op: str, n_ints: int
@@ -389,10 +483,12 @@ class WahCodec:
         fn = self._encode_fns.get(key)
         if fn is None:
             fn = jax.jit(
-                partial(_lops.logical_reduce, op=op, n_ints=n_ints)
+                partial(
+                    _lops.logical_reduce_flat, C=C, op=op, n_ints=n_ints
+                )
             )
             self._encode_fns[key] = fn
-        words, total = fn(jax.device_put(w2), ms)
+        words, total = fn(jax.device_put(w2.reshape(-1)), ms=ms)
         return np.asarray(words[: int(total)])
 
     # -- public API --------------------------------------------------------

@@ -24,7 +24,13 @@ from ..constants import BIT31, BIT3130, BLOCK_CHUNKS, BLOCK_INTS, ONES31
 from . import decode as _dec
 from . import encode as _enc
 
-__all__ = ["logical_op", "logical_reduce", "complement_stream", "OPS"]
+__all__ = [
+    "logical_op",
+    "logical_reduce",
+    "logical_reduce_flat",
+    "complement_stream",
+    "OPS",
+]
 
 _U = jnp.uint32
 _I = jnp.int32
@@ -107,6 +113,22 @@ def logical_reduce(
     op: str,
     n_ints: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """2-D (C, M) wrapper over logical_reduce_flat (host callers with
+    numpy arrays should flatten and call the flat form directly — a
+    device-side (C, M) -> flat relayout is an HBM copy on TPU)."""
+    C, M = words2d.shape
+    return logical_reduce_flat(
+        words2d.reshape(C * M), C, ms, op=op, n_ints=n_ints
+    )
+
+
+def logical_reduce_flat(
+    words_flat: jnp.ndarray,
+    C: int,
+    ms: jnp.ndarray,
+    op: str,
+    n_ints: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fold C streams with an associative op (or/and/xor) -> one
     compressed stream. The index workload's k-way queries (query_in's
     OR over membership columns) pay ONE flattened batch decode + one
@@ -124,26 +146,26 @@ def logical_reduce(
     fn = OPS[op]
     from ..golden import chunk_count
 
-    C = words2d.shape[0]
-    M = words2d.shape[1]
+    M = words_flat.shape[0] // C
+    assert words_flat.shape[0] == C * M, (words_flat.shape, C)
     nv = chunk_count(n_ints)
     nb = -(-nv // BLOCK_CHUNKS)
     pad_ints = nb * BLOCK_INTS
     Cp = 1 << max(0, (C - 1).bit_length())
     if Cp != C:
         idw, mi = _identity_words(op, nv, M)
-        words2d = jnp.concatenate(
-            [words2d, jnp.broadcast_to(idw, (Cp - C, M))]
+        words_flat = jnp.concatenate(
+            [words_flat, jnp.tile(idw, Cp - C)]
         )
         ms = jnp.concatenate(
             [jnp.asarray(ms, _I), jnp.full((Cp - C,), mi, _I)]
         )
     if jax.default_backend() != "cpu":
         from .pallas.decode_kernel import TILE_BLOCKS as _DT
-        from .pallas.decode_kernel import decode_batch
+        from .pallas.decode_kernel import decode_rows_batch
 
         nbp = max(_DT, 1 << (nb - 1).bit_length())
-        flat = decode_batch(words2d, ms, nbp * BLOCK_CHUNKS)
+        flat = decode_rows_batch(words_flat, Cp, ms, nbp * BLOCK_CHUNKS)
         collen = nbp * BLOCK_INTS
         c = Cp
         while c > 1:
@@ -153,7 +175,7 @@ def logical_reduce(
         acc = flat[:pad_ints]
     else:
         ints2d, _ = _dec.decode_batch(
-            words2d, ms, chunk_capacity=nb * BLOCK_CHUNKS
+            words_flat.reshape(Cp, M), ms, chunk_capacity=nb * BLOCK_CHUNKS
         )
         c = Cp
         while c > 1:

@@ -388,11 +388,12 @@ def decode_batch(
     would call decompress per column, decompress.h).
 
     words2d: (C, Mcap) uint32, Mcap % 1024 == 0; column c's stream is
-    words2d[c, :ms[c]], ZERO beyond (zero padding words are counted as
-    literals by the in-window offset reconstruction, but they sit after
-    every valid word of their column, so valid offsets are unaffected
-    and their arrivals land at per-column positions >= the column's
-    chunk count, which the position-mask validity kills).
+    words2d[c, :ms[c]]; words beyond ms[c] may be arbitrary (masked to
+    zero in the word-view pass — zero padding words count as literals
+    in the in-window offset reconstruction, but they sit after every
+    valid word of their column, so valid offsets are unaffected and
+    their arrivals land at per-column positions >= the column's chunk
+    count, which the position-mask validity kills).
     ms: (C,) int32 per-column word counts.
     col_chunk_capacity: pow2, multiple of TILE_BLOCKS*1024; every
     column must expand to <= this many chunks.
@@ -410,18 +411,47 @@ def decode_batch(
     so the <=1-row-per-block window-advance invariant holds within
     every step."""
     C, Mcap = words2d.shape
+    return decode_rows_batch(
+        words2d.reshape(C * Mcap), C, ms, col_chunk_capacity
+    )
+
+
+def decode_rows_batch(
+    words_flat: jnp.ndarray, C: int, ms: jnp.ndarray,
+    col_chunk_capacity: int,
+) -> jnp.ndarray:
+    """decode_batch over the FLAT words layout: (C*Mcap,) uint32 with
+    column c's stream at words_flat[c*Mcap:][:ms[c]]. The native entry
+    point — a (C, Mcap) device array must relayout to feed the kernel's
+    flat word-tile view (a full HBM copy on TPU); callers with host
+    arrays flatten for free (see encode_rows_batch).
+
+    Words beyond ms[c] may be ARBITRARY (the TPU stitch leaves
+    unspecified tails past each column's total): they are zeroed in the
+    same fused pass that materializes the kernel's word-tile view, so
+    in-window offset reconstruction only ever sees the benign
+    zero-literal padding the window analysis assumes. (A garbage fill
+    word in a tail could otherwise overflow the in-window int32 offset
+    cumsum and alias a wrapped arrival into a live lane.)"""
     cap = col_chunk_capacity
     B = TILE_BLOCKS
+    total = words_flat.shape[0]
+    assert total % C == 0, (total, C)
+    Mcap = total // C
     assert Mcap % L == 0, Mcap
     assert cap % (B * L) == 0 and cap & (cap - 1) == 0, (cap, B)
-    w2 = words2d.astype(_U)
+    wf = words_flat.astype(_U)
     ms = jnp.asarray(ms, dtype=_I)
 
     # per-column masked counts -> flat row sums -> rebased row_base
+    # (elementwise + reduce: XLA fuses the (C, Mcap) view, no copy)
+    w2 = wf.reshape(C, Mcap)
     iw = jnp.arange(Mcap, dtype=_I)
+    wvalid = iw[None, :] < ms[:, None]
+    w2 = jnp.where(wvalid, w2, _U(0))
     is_fill = (w2 & _U(BIT31)) != 0
     cnt = jnp.where(is_fill, (w2 & _U(LEN_MASK)).astype(_I), _I(1))
-    cnt = jnp.where(iw[None, :] < ms[:, None], cnt, _I(0))
+    cnt = jnp.where(wvalid, cnt, _I(0))
     rows_per_col = Mcap // L
     row_sums = jnp.sum(cnt.reshape(C * rows_per_col, L), axis=1, dtype=_I)
     row_base, col_totals = rebase_exclusive_per_col(
@@ -433,7 +463,7 @@ def decode_batch(
     nsteps = nbo_t // B
 
     words_t = jnp.concatenate(
-        [w2.reshape(-1), jnp.zeros(((B + 4) * L,), _U)]
+        [w2.reshape(C * Mcap), jnp.zeros(((B + 4) * L,), _U)]
     ).reshape(-1, 8, 128)
     step_bases = jnp.arange(nsteps, dtype=_I) * (B * L)
     rbase = jnp.clip(

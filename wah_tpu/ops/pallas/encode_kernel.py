@@ -47,7 +47,13 @@ from .common import (
     shift_right,
 )
 
-__all__ = ["encode_tiles", "stitch_tiles", "encode_padded"]
+__all__ = [
+    "encode_tiles",
+    "stitch_tiles",
+    "encode_padded",
+    "encode_padded_batch",
+    "encode_rows_batch",
+]
 
 _U = jnp.uint32
 _I = jnp.int32
@@ -731,7 +737,29 @@ def encode_padded_batch(
     """
     C, width = cols.shape
     nb = width // BLOCK_INTS
-    assert width == nb * BLOCK_INTS and nb % TILE_BLOCKS == 0, (C, width)
+    assert width == nb * BLOCK_INTS, (C, width)
+    return encode_rows_batch(
+        cols.reshape(C * nb, BLOCK_INTS), C, n_valid_chunks,
+        group_rows=group_rows,
+    )
+
+
+def encode_rows_batch(
+    ints2d: jnp.ndarray, C: int, n_valid_chunks, group_rows: int = 1 << 19
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched-column encode over a ROWS-layout input: (C*nb, 992)
+    uint32 block rows, column-major in the leading axis (column c owns
+    rows [c*nb, (c+1)*nb)). This is the native entry point: a (C, nb*992)
+    device array must first be reshaped to block rows, and that reshape
+    is a full layout-changing HBM copy on TPU (~22 ms/GB measured —
+    benchmarks/batch_bench.py round 3); callers holding host arrays
+    reshape for free and `jax.device_put` the rows form directly.
+
+    Same contract as encode_padded_batch otherwise."""
+    rows, w = ints2d.shape
+    assert w == BLOCK_INTS and rows % C == 0, (ints2d.shape, C)
+    nb = rows // C
+    assert nb % TILE_BLOCKS == 0, (nb, TILE_BLOCKS)
     assert nb & (nb - 1) == 0, f"nb must be a power of two, got {nb}"
     from .stitch2 import stitch_tiles_v2
 
@@ -746,13 +774,12 @@ def encode_padded_batch(
     G = max(1, min(C, group_rows // nb))
     Cp = -(-C // G) * G
     if Cp != C:
-        cols = jnp.concatenate(
-            [cols, jnp.zeros((Cp - C, width), _U)], axis=0
+        ints2d = jnp.concatenate(
+            [ints2d, jnp.zeros(((Cp - C) * nb, BLOCK_INTS), _U)], axis=0
         )
 
-    def group_fn(cols_g):
-        ints2d = cols_g.reshape(G * nb, BLOCK_INTS).astype(_U)
-        staging, counts = encode_tiles(ints2d, nv3)
+    def group_fn(rows_g):
+        staging, counts = encode_tiles(rows_g.astype(_U), nv3)
         rc = counts[:, 0]
         offsets, totals_g = rebase_exclusive_per_col(
             rc, G, nb, col_chunks
@@ -762,10 +789,10 @@ def encode_padded_batch(
         return words, totals_g
 
     if Cp // G == 1:  # lax.map of one step still copies in/out; skip it
-        words, totals = group_fn(cols)
+        words, totals = group_fn(ints2d)
     else:
         words, totals = jax.lax.map(
-            group_fn, cols.reshape(Cp // G, G, width)
+            group_fn, ints2d.reshape(Cp // G, G * nb, BLOCK_INTS)
         )
         words = words.reshape(Cp * col_chunks)
         totals = totals.reshape(Cp)
