@@ -19,9 +19,11 @@ __all__ = [
     "shift_right",
     "shift_left",
     "cumsum_lanes",
+    "cumsum_lanes_mxu",
     "cummax_lanes",
     "compact_lanes",
     "expand_lanes",
+    "tri128",
 ]
 
 
@@ -103,6 +105,57 @@ def rebase_exclusive_per_col(counts_flat, cols: int, percol: int,
     off = (cf - counts_flat.reshape(cols, percol)
            + (base - starts)[:, None])
     return off.reshape(-1), ends - starts
+
+
+def tri128() -> "np.ndarray":
+    """(128, 128) int8 upper-triangular ones: x @ tri128 is the
+    inclusive 128-lane prefix sum. Kernel input constant for the MXU
+    scan (Pallas kernels cannot capture array constants)."""
+    import numpy as np
+
+    i = np.arange(128)
+    return (i[:, None] <= i[None, :]).astype(np.int8)
+
+
+def cumsum_lanes_mxu(x, tri):
+    """Inclusive prefix sum along the last axis of (B, W) int32 with
+    values in [0, 16383], W % 128 == 0, on the MXU.
+
+    A W-lane Hillis-Steele scan costs log2(W) cross-register roll+
+    select+add passes on the VPU — the single largest op family in the
+    decode window (11 steps over (B, 2048)). Prefix sum is linear, so
+    the 128-lane segment scan becomes ONE matmul with a triangular ones
+    matrix: the values are split into two 7-bit limbs (int8 x int8 ->
+    int32 is MXU-native), each limb multiplied by `tri` (tri128()), and
+    recombined; segment totals then combine with a log-shift scan over
+    the W/128 per-row segments. Measured v5e (130 MB decode): SLOWER
+    than the flat VPU scan (9.33 vs 8.58 ms decode, 2.79 vs 2.65 ms
+    encode tiles) — the int8 limb packing and (B, W) <-> (B*G, 128)
+    relayouts cost more than the rolls they replace. Kept opt-in
+    (WAH_MXU_SCANS=1) as a documented negative result.
+    """
+    B, W = x.shape
+    G = W // 128
+    y = x.reshape(B * G, 128)
+    lo = (y & 127).astype(jnp.int8)
+    hi = (y >> 7).astype(jnp.int8)
+    dn = (((1,), (0,)), ((), ()))
+    slo = jax.lax.dot_general(
+        lo, tri, dn, preferred_element_type=jnp.int32
+    )
+    shi = jax.lax.dot_general(
+        hi, tri, dn, preferred_element_type=jnp.int32
+    )
+    seg = (slo + (shi << 7)).reshape(B, G, 128)
+    tot = seg[:, :, 127]  # (B, G) per-segment totals
+    ri = lane_iota((B, G))
+    acc = tot
+    zero = jnp.zeros((), x.dtype)
+    k = 1
+    while k < G:
+        acc = acc + jnp.where(ri >= k, pltpu.roll(acc, shift=k, axis=1), zero)
+        k <<= 1
+    return (seg + (acc - tot)[:, :, None]).reshape(B, W)
 
 
 def _seg_view(x):

@@ -10,20 +10,25 @@ each covering word to its in-block start with a monotone lane expansion,
 and forward-fills runs with a cummax scan — O(log) lane ops per output
 chunk regardless of fill lengths.
 
-Window mechanics (self-locating): the host prescan is only *row*-
-granular — an exclusive scan over per-1024-word-row expanded sizes and
-one small searchsorted mapping each output block to the word row
-containing its covering window (tables of M/1024 entries; the reference
-scans every word, decompress.cu:66-93, and an element-granular scan +
-searchsorted on TPU costs more than the whole kernel). Each kernel row
-DMAs the TWO aligned 1024-word tiles starting at its row, reconstructs
-word offsets locally (in-window count scan + the row's base offset),
-finds its first covering word with a row-min, rotates the window into
-phase, and expands. Mosaic DMA slices must be tile-aligned, which is
-why windows are whole tiles from a (T, 8, 128) view; and because the
-covering row advances at most one per output block, ONE bulk
-(B+2)-tile DMA per grid step covers all B windows (per-row DMA issue
-cost dominated the first version of this kernel).
+Window mechanics (self-locating, granule-granular): the host prescan
+is only *granule*-granular — an exclusive scan over per-128-word-
+granule expanded sizes and one small searchsorted mapping each grid
+STEP to the granule containing its first covering word (tables of
+M/128 entries; the reference scans every word, decompress.cu:66-93,
+and an element-granular scan + searchsorted on TPU costs more than the
+whole kernel). One bulk DMA of 8*(B+2) granules per grid step covers
+all B windows (the covering granule advances at most 8 per output
+block — a block consumes <= 1024 words); each block then copies its
+9-granule window (1152 words) VMEM->VMEM starting at its own covering
+granule, reconstructs word offsets locally (in-window count scan + the
+granule's base offset), and rotates the window into phase. Because the
+first covering word lies in the window's FIRST granule, the phase
+rotation is < 128 lanes (7 steps, vs 11 over a 2048-lane tile window
+in the round-2 kernel) and every in-window scan narrows from 2048 to
+1152 lanes. DMA slice starts must be tile-aligned, which the 8-aligned
+bulk start guarantees on the (G, 128) word view; the per-block
+unaligned 9-granule copies are VMEM dynamic-sublane-start slices
+(supported by Mosaic, probed).
 """
 from __future__ import annotations
 
@@ -45,9 +50,11 @@ from .common import (
     rebase_exclusive_per_col,
     cummax_lanes_wide,
     cumsum_lanes,
+    cumsum_lanes_mxu,
     cumsum_lanes_wide,
     lane_iota,
     shift_right,
+    tri128,
 )
 
 __all__ = ["decode", "decode_batch"]
@@ -63,7 +70,8 @@ TILE_BLOCKS = int(
     _os.environ.get("WAH_DECODE_TILE_BLOCKS", "0")
 ) or (8 if jax.default_backend() == "cpu" else 128)
 L = BLOCK_CHUNKS
-W = 2 * L
+GW = 9  # granules per block window (127 max phase + 1024 consumed words)
+WG = GW * 128  # window width in words (lanes)
 _T_ONES = 2  # cummax key type code for the all-ones filler
 
 
@@ -73,6 +81,14 @@ def _interpret() -> bool:
 
 # see encode_kernel.WIDE_SCANS (same measured selection: flat wins)
 WIDE_SCANS = _os.environ.get("WAH_WIDE_SCANS", "0") == "1"
+# MXU prefix sums (common.cumsum_lanes_mxu): measured SLOWER on v5e
+# (130 MB: decode 9.33 vs 8.58 ms, tiles 2.79 vs 2.65 ms) — the int8
+# limb packing + (B, W) <-> (B*G, 128) relayouts cost more than the
+# log2(W) VPU roll/select/add passes they replace. Kept opt-in.
+MXU_SCANS = _os.environ.get("WAH_MXU_SCANS", "0") == "1"
+# perf probes (e.g. WAH_DEC_PROBE=noexp): disable the expansion /
+# cummax families to attribute kernel time; output is WRONG under them
+_PROBE = set(_os.environ.get("WAH_DEC_PROBE", "").split(","))
 
 
 def _cumsum(x, nbits: int, col):
@@ -111,95 +127,117 @@ _MERGE_MASKS = _merge_masks()
 
 
 def _rotate_left_rows(x, s, nbits: int):
-    """Rotate row i of x left by s[i] lanes (s: (rows, 1) int32)."""
+    """Rotate row i of x LEFT by s[i] lanes (s: (rows, 1) int32,
+    0 <= s < 2^nbits). Decomposes s directly — a left roll by 2^k is a
+    constant right roll by n - 2^k — so the step count follows the
+    MAGNITUDE of s, not the row width (the granule-window design caps
+    s < 128, making this 7 steps on 1152 lanes instead of 11 on 2048).
+    """
     n = x.shape[-1]
-    rs = (n - s) % n
     for k in range(nbits):
-        bit = ((rs >> k) & 1) != 0
-        x = jnp.where(bit, pltpu.roll(x, shift=1 << k, axis=1), x)
+        bit = ((s >> k) & 1) != 0
+        x = jnp.where(
+            bit, pltpu.roll(x, shift=n - (1 << k), axis=1), x
+        )
     return x
 
 
 def _decode_body(
-    rbase_ref, meta_ref, words_ref, rbt_ref, mmasks_ref, ints_ref,
-    wbulk, rbw, wscr, rloc_ref, rloc_s, sem, sem2
+    rbase_ref, meta_ref, words_ref, rbt_ref, mmasks_ref, tri_ref,
+    ints_ref, wbulk, rbw, wscr, rloc_ref, rloc_s, sem, sem2
 ):
     pid = pl.program_id(0)
     B = ints_ref.shape[0]
     m = meta_ref[1]
 
-    # SELF-LOCATING: the covering 1024-word tile row advances at most 1
-    # per output block (a block's window is <= 1024 words), so ONE bulk
-    # DMA of B+2 tiles starting at this step's first covering row rb
-    # covers every window of the step. rb is a host prescan scalar (one
-    # searchsorted per STEP, not per block); the per-BLOCK covering rows
-    # come from a masked lane-max over the row_base table window DMA'd
-    # alongside — the host-side per-block scatter-max + cummax + take
-    # this replaces cost ~2.3 ms at 130 MB, a quarter of decode time.
-    rb = rbase_ref[pid]
+    # SELF-LOCATING, GRANULE WINDOWS: word offsets are tabulated per
+    # 128-word GRANULE (not per 1024-word tile), so each block's window
+    # is the 9 granules (1152 words) from its first covering granule —
+    # the first covering word always lies in that granule, capping the
+    # alignment rotation at 7 steps and narrowing every in-window scan
+    # from 2048 to 1152 lanes (the two 11-step 2048-lane rotations were
+    # 25% of round-2 decode time, the top probe target; measured at
+    # 130 MB: 8.58 -> 5.02 ms, 25.9 GB/s at density 2^-4). One bulk
+    # DMA of (B+2)*8 granules starting at this step's first covering
+    # granule's tile covers every window: the covering granule advances
+    # at most 8 per output block (a block consumes <= 1024 words).
+    g_start = rbase_ref[pid]
+    tb = g_start // 8
+    g0 = tb * 8
     cp = pltpu.make_async_copy(
-        words_ref.at[pl.ds(rb, B + 2)], wbulk, sem
+        words_ref.at[pl.ds(8 * tb, 8 * (B + 2))], wbulk, sem
     )
     cp.start()
-    q = rb // 1024
-    cpr = pltpu.make_async_copy(rbt_ref.at[pl.ds(q, 2)], rbw, sem2)
+    q = g0 // 1024
+    cpr = pltpu.make_async_copy(rbt_ref.at[pl.ds(q, 3)], rbw, sem2)
     cpr.start()
     cpr.wait()
 
-    # rotate the 2048-lane row_base window so lane j == row rb + j,
-    # then find each block's covering row: max{j : row_base[j] <= base}
+    # rotate the 3072-lane granule_base window so lane j == granule
+    # g0 + j, then find each block's covering granule:
+    # max{j : granule_base[j] <= base}
     lbl = _rotate_left_rows(
-        rbw[...].reshape(1, 2048), jnp.reshape(rb % 1024, (1, 1)), 11
+        rbw[...].reshape(1, 3 * 1024), jnp.reshape(g0 - 1024 * q, (1, 1)),
+        10,
     )
-    li = lane_iota((1, 2048))
+    li = lane_iota((1, 3 * 1024))
     baset = meta_ref[2] + (
         pid * B + jax.lax.broadcasted_iota(_I, (B, 1), 0)
     ) * L
-    okb = (lbl <= baset) & (li < B + 2)  # (B, 2048)
-    # live blocks always land in [0, B] (window advance <= 1/block);
+    okb = (lbl <= baset) & (li < 8 * B + 16)  # (B, 3072)
+    # live blocks always land in [0, 8B-1] (granule advance <= 8/block);
     # the clamp only bounds dead blocks past the stream end, whose
     # output is masked by n_chunks below
     r_loc = jnp.minimum(
-        jnp.max(jnp.where(okb, li, _I(0)), axis=1, keepdims=True), _I(B)
+        jnp.max(jnp.where(okb, li, _I(0)), axis=1, keepdims=True),
+        _I(8 * B + 7),
     )
     coff_t = jnp.max(jnp.where(okb, lbl, _I(0)), axis=1, keepdims=True)
     rloc_ref[:, :] = r_loc
 
-    # stage the per-block rows through SMEM: a dynamic VMEM slice
-    # indexed by a VECTOR-read scalar lowers to a full-array select per
-    # row (measured: 72 MB of compile-time stack), while a scalar-core
-    # index from SMEM slices for free
+    # stage the per-block granule indices through SMEM: a dynamic VMEM
+    # slice indexed by a VECTOR-read scalar lowers to a full-array
+    # select per row (measured: 72 MB of compile-time stack), while a
+    # scalar-core index from SMEM slices for free. The wbulk slices
+    # start at arbitrary granules (sublane rows) — Mosaic supports
+    # dynamic sublane-start VMEM slicing.
     cps = pltpu.make_async_copy(rloc_ref, rloc_s, sem2)
     cps.start()
     cps.wait()
     cp.wait()
     for r in range(B):
-        t0 = rloc_s[r, 0]
-        wscr[pl.ds(2 * r, 2)] = wbulk[pl.ds(t0, 2)]
+        gr = rloc_s[r, 0]
+        wscr[pl.ds(GW * r, GW)] = wbulk[pl.ds(gr, GW)]
+    win = wscr[...].reshape(B, WG)
 
-    win = wscr[...].reshape(B, W)
-    colw = lane_iota((B, W))
-    roww = jax.lax.broadcasted_iota(_I, (B, W), 0)
+    colw = lane_iota((B, WG))
+    roww = jax.lax.broadcasted_iota(_I, (B, WG), 0)
     base_w = meta_ref[2] + (pid * B + roww) * L
-    idx = (rb + r_loc) * L + colw  # global word index per window lane
+    idx = (g0 + r_loc) * 128 + colw  # global word index per window lane
 
     # in-window offset reconstruction (reference getCounts + scan,
     # kernels.cu:291-309 / decompress.cu:66-93, done per window)
     is_fill_w = (win & _U(BIT31)) != 0
     cnt = jnp.where(is_fill_w, (win & _U(LEN_MASK)).astype(_I), _I(1))
     cnt = jnp.where(idx < m, cnt, _I(0))
-    off = coff_t + _cumsum(cnt, 11, colw) - cnt
+    if MXU_SCANS:
+        off = coff_t + cumsum_lanes_mxu(cnt, tri_ref[...]) - cnt
+    else:
+        off = coff_t + _cumsum(cnt, 11, colw) - cnt
 
     rel = off - base_w
     ok = (rel < L) & (rel + cnt > 0) & (idx < m)
     tgt = jnp.clip(rel, 0, L)
 
     # rotate the window so lane 0 == the first covering word (the live
-    # set is contiguous, so alignment is a pure rotation — no routing)
-    lo_local = jnp.min(jnp.where(ok, colw, _I(W)), axis=1, keepdims=True)
+    # set is contiguous, so alignment is a pure rotation — no routing;
+    # the first covering word is in the window's FIRST granule, so the
+    # rotation amount is < 128: 7 steps)
+    lo_local = jnp.min(jnp.where(ok, colw, _I(WG)), axis=1, keepdims=True)
+    lo_local = jnp.minimum(lo_local, _I(127))
     tok = jnp.where(ok, tgt * 2 + 1, _I(0))  # target | live bit
-    win = _rotate_left_rows(win, lo_local, 11)
-    tok = _rotate_left_rows(tok, lo_local, 11)
+    win = _rotate_left_rows(win, lo_local, 7)
+    tok = _rotate_left_rows(tok, lo_local, 7)
 
     win1 = win[:, :L]
     tok1 = tok[:, :L]
@@ -223,7 +261,7 @@ def _decode_body(
     # are raw rotations. Arrivals land exactly at their target, so the
     # cummax key is reconstructed afterwards from (lane, payload).
     dok = jnp.where((tok1 & 1) != 0, tok1 - 2 * col, zi)
-    for b in reversed(range(10)):
+    for b in reversed(range(10 if "noexp" not in _PROBE else 0)):
         k = 1 << b
         gated = jnp.where((dok & 1) != 0, dok & (2 * k), zi)
         srcm = shift_right(gated, k, zi, col)
@@ -241,7 +279,7 @@ def _decode_body(
     t_d = jnp.where(val_d == _U(ONES31), _I(_T_ONES), _I(1))
     key_d = jnp.where(ok_d, (col << 2) | t_d, _I(0))
 
-    cm = _cummax(key_d, 10, _I(0), col)
+    cm = _cummax(key_d, 10 if "nocummax" not in _PROBE else 0, _I(0), col)
     is_start = (cm >> 2) == col
     covered_ones = (cm & 3) == _I(_T_ONES)
     chunks = jnp.where(
@@ -287,45 +325,47 @@ def decode(
     words = words.astype(_U)
     m = jnp.asarray(m, dtype=_I)
 
-    # row-granular host prescan: per-1024-word-row expanded sizes (one
-    # fused masked pass + a small cumsum) and ONE searchsorted giving
-    # each grid STEP its first covering row. The per-BLOCK mapping —
-    # which as an XLA scatter-max + cummax + take cost ~2.3 ms at
-    # 130 MB, a quarter of decode time — happens inside the kernel from
-    # a DMA'd window of row_base (_decode_body).
+    # granule-granular host prescan: per-128-word-granule expanded sizes
+    # (one fused masked pass + a small cumsum) and ONE searchsorted
+    # giving each grid STEP its first covering granule. The per-BLOCK
+    # mapping — which as an XLA scatter-max + cummax + take cost
+    # ~2.3 ms at 130 MB, a quarter of decode time — happens inside the
+    # kernel from a DMA'd window of g_base (_decode_body).
     Mr = -(-M // L) * L
     iw = jnp.arange(M, dtype=_I)
     is_fill = (words & _U(BIT31)) != 0
     counts = jnp.where(is_fill, (words & _U(LEN_MASK)).astype(_I), _I(1))
     counts = jnp.where(iw < m, counts, _I(0))
     cpad = jnp.concatenate([counts, jnp.zeros((Mr - M,), _I)])
-    row_sums = jnp.sum(cpad.reshape(-1, L), axis=1, dtype=_I)
-    row_base = jnp.cumsum(row_sums, dtype=_I) - row_sums
-    n_chunks = row_base[-1] + row_sums[-1]
+    g_sums = jnp.sum(cpad.reshape(-1, 128), axis=1, dtype=_I)
+    g_base = jnp.cumsum(g_sums, dtype=_I) - g_sums
+    n_chunks = g_base[-1] + g_sums[-1]
 
     nbo = chunk_capacity // L
     nbo_p = -(-nbo // B) * B
     nsteps = nbo_p // B
 
-    # pad the stream so every bulk window [rb, rb + B + 2) is in
-    # bounds, then view as (T, 8, 128) tiles
+    # pad the stream so every bulk window [8*(g//8), +8*(B+2)) granules
+    # is in bounds, then view as (G, 128) granule rows (2-D: DMA starts
+    # are tile-aligned because the bulk start granule is 8-aligned)
     words_t = jnp.concatenate(
         [words, jnp.zeros((Mr - M + (B + 4) * L,), _U)]
-    ).reshape(-1, 8, 128)
+    ).reshape(-1, 128)
     base_i = jnp.asarray(chunk_base, dtype=_I)
     step_bases = base_i + jnp.arange(nsteps, dtype=_I) * (B * L)
     rbase = jnp.clip(
-        jnp.searchsorted(row_base, step_bases, side="right").astype(_I)
+        jnp.searchsorted(g_base, step_bases, side="right").astype(_I)
         - 1,
         0,
-        _I(words_t.shape[0] - (B + 2)),
+        _I(words_t.shape[0] - 8 * (B + 2)),
     )
-    # row_base padded with INT32_MAX (never selected as covering) and
-    # viewed as (Tr, 1, 1024) for row-granular window DMA
-    Rr = row_base.shape[0]
-    Rp = -(-(Rr + 1024) // 1024) * 1024
+    # g_base padded with INT32_MAX (never selected as covering) and
+    # viewed as (Tr, 1, 1024) for granule-table window DMA; the kernel
+    # reads rows q..q+2 for q <= n_granules//1024
+    Rr = g_base.shape[0]
+    Rp = (words_t.shape[0] // 1024 + 3) * 1024
     rbt = jnp.concatenate(
-        [row_base, jnp.full((Rp - Rr,), jnp.iinfo(jnp.int32).max, _I)]
+        [g_base, jnp.full((Rp - Rr,), jnp.iinfo(jnp.int32).max, _I)]
     ).reshape(-1, 1, 1024)
 
     meta = jnp.stack(
@@ -348,15 +388,17 @@ def _run_decode(rbase, meta, words_t, rbt, nbo_p):
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((5, L), lambda i, rba, mt: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, rba, mt: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((B, BLOCK_INTS), lambda i, rba, mt: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B + 2, 8, 128), _U),
-            pltpu.VMEM((2, 1, 1024), _I),
-            pltpu.VMEM((2 * B, 8, 128), _U),
+            pltpu.VMEM((8 * (B + 2), 128), _U),
+            pltpu.VMEM((3, 1, 1024), _I),
+            pltpu.VMEM((GW * B, 128), _U),
             pltpu.VMEM((B, 1), _I),
             pltpu.SMEM((B, 1), _I),
             pltpu.SemaphoreType.DMA,
@@ -377,6 +419,7 @@ def _run_decode(rbase, meta, words_t, rbt, nbo_p):
         words_t,
         rbt,
         jnp.asarray(_MERGE_MASKS),
+        jnp.asarray(tri128()),
     )[0]
 
 
@@ -443,8 +486,9 @@ def decode_rows_batch(
     wf = words_flat.astype(_U)
     ms = jnp.asarray(ms, dtype=_I)
 
-    # per-column masked counts -> flat row sums -> rebased row_base
-    # (elementwise + reduce: XLA fuses the (C, Mcap) view, no copy)
+    # per-column masked counts -> flat granule sums -> rebased g_base
+    # (elementwise + reduce: XLA fuses the (C, Mcap) view, no copy;
+    # granules never straddle columns: Mcap % 1024 == 0)
     w2 = wf.reshape(C, Mcap)
     iw = jnp.arange(Mcap, dtype=_I)
     wvalid = iw[None, :] < ms[:, None]
@@ -452,11 +496,9 @@ def decode_rows_batch(
     is_fill = (w2 & _U(BIT31)) != 0
     cnt = jnp.where(is_fill, (w2 & _U(LEN_MASK)).astype(_I), _I(1))
     cnt = jnp.where(wvalid, cnt, _I(0))
-    rows_per_col = Mcap // L
-    row_sums = jnp.sum(cnt.reshape(C * rows_per_col, L), axis=1, dtype=_I)
-    row_base, col_totals = rebase_exclusive_per_col(
-        row_sums, C, rows_per_col, cap
-    )
+    gpc = Mcap // 128  # granules per column
+    g_sums = jnp.sum(cnt.reshape(C * gpc, 128), axis=1, dtype=_I)
+    g_base, col_totals = rebase_exclusive_per_col(g_sums, C, gpc, cap)
 
     nbo = cap // L  # blocks per column
     nbo_t = C * nbo
@@ -464,18 +506,18 @@ def decode_rows_batch(
 
     words_t = jnp.concatenate(
         [w2.reshape(C * Mcap), jnp.zeros(((B + 4) * L,), _U)]
-    ).reshape(-1, 8, 128)
+    ).reshape(-1, 128)
     step_bases = jnp.arange(nsteps, dtype=_I) * (B * L)
     rbase = jnp.clip(
-        jnp.searchsorted(row_base, step_bases, side="right").astype(_I)
+        jnp.searchsorted(g_base, step_bases, side="right").astype(_I)
         - 1,
         0,
-        _I(words_t.shape[0] - (B + 2)),
+        _I(words_t.shape[0] - 8 * (B + 2)),
     )
-    Rr = row_base.shape[0]
-    Rp = -(-(Rr + 1024) // 1024) * 1024
+    Rr = g_base.shape[0]
+    Rp = (words_t.shape[0] // 1024 + 3) * 1024
     rbt = jnp.concatenate(
-        [row_base, jnp.full((Rp - Rr,), jnp.iinfo(jnp.int32).max, _I)]
+        [g_base, jnp.full((Rp - Rr,), jnp.iinfo(jnp.int32).max, _I)]
     ).reshape(-1, 1, 1024)
 
     # every column expands the same chunk count (equal-length columns);

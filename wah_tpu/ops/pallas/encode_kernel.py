@@ -41,10 +41,12 @@ from .common import (
     cummax_lanes,
     cummax_lanes_wide,
     cumsum_lanes,
+    cumsum_lanes_mxu,
     cumsum_lanes_wide,
     lane_iota,
     shift_left,
     shift_right,
+    tri128,
 )
 
 __all__ = [
@@ -82,6 +84,8 @@ def _interpret() -> bool:
 # 9.28) — the (B, W) <-> (B, W//128, 128) relayouts cost more than the
 # cross-register rolls they avoid. Kept opt-in via WAH_WIDE_SCANS=1.
 WIDE_SCANS = _os.environ.get("WAH_WIDE_SCANS", "0") == "1"
+# MXU prefix sums: measured slower (see decode_kernel.MXU_SCANS)
+MXU_SCANS = _os.environ.get("WAH_MXU_SCANS", "0") == "1"
 
 
 def _cumsum(x, nbits: int, col):
@@ -122,7 +126,7 @@ _REPART_MASKS = _repart_masks()
 # block encoder
 # ---------------------------------------------------------------------------
 
-def _encode_body(nv_ref, masks_ref, ints_ref, staging_ref, counts_ref):
+def _encode_body(nv_ref, masks_ref, tri_ref, ints_ref, staging_ref, counts_ref):
     B, _ = staging_ref.shape
     pid = pl.program_id(0)
     col = lane_iota((B, L))
@@ -168,7 +172,10 @@ def _encode_body(nv_ref, masks_ref, ints_ref, staging_ref, counts_ref):
     # into two block-wide scans) --------------------------------------
     prev_t = shift_right(t, 1, _I(-1), col)
     start = v & ((t != prev_t) | (t == _I(2)))
-    incl = _cumsum(start.astype(_I), 10, col)
+    if MXU_SCANS:
+        incl = cumsum_lanes_mxu(start.astype(_I), tri_ref[...])
+    else:
+        incl = _cumsum(start.astype(_I), 10, col)
     widx = incl - 1
     counts_ref[:] = incl[:, L - 1 : L]
 
@@ -230,6 +237,8 @@ def encode_tiles(
         in_specs=[
             pl.BlockSpec((5, L), lambda i, nv: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, nv: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (B, BLOCK_INTS), lambda i, nv: (i, 0),
                 memory_space=pltpu.VMEM,
@@ -256,6 +265,7 @@ def encode_tiles(
     )(
         nv,
         jnp.asarray(_REPART_MASKS),
+        jnp.asarray(tri128()),
         ints2d.astype(_U),
     )
 
