@@ -153,6 +153,26 @@ def test_segmented_compress_decompress():
         np.testing.assert_array_equal(out, data)
 
 
+def test_segment_defaults_are_block_aligned():
+    """The default segment_ints values must satisfy the functions' own
+    block-alignment assert (1 << 28 / 1 << 23 did NOT — 992 does not
+    divide powers of two — so any default-argument call on data larger
+    than one segment raised AssertionError)."""
+    import inspect
+
+    from wah_tpu.api import WahCodec
+    from wah_tpu.constants import BLOCK_INTS
+
+    for fn in (
+        WahCodec.compress_segments,
+        WahCodec.decompress_segments,
+        WahCodec.compress_batch_segments,
+        WahCodec.decompress_batch_segments,
+    ):
+        default = inspect.signature(fn).parameters["segment_ints"].default
+        assert default % BLOCK_INTS == 0, fn.__name__
+
+
 def test_segmented_batch_compress_decompress():
     """Column-segmented batched codec (BASELINE configs[3] machinery):
     per-column streams equal the unsegmented golden streams and the

@@ -313,7 +313,7 @@ class WahCodec:
         return np.asarray(words[: int(total)])
 
     def compress_segments(
-        self, data: np.ndarray, segment_ints: int = 1 << 28
+        self, data: np.ndarray, segment_ints: int = BLOCK_INTS << 18
     ) -> np.ndarray:
         """Compress a bitmap of ANY size as block-aligned segments.
 
@@ -338,7 +338,7 @@ class WahCodec:
         self,
         words: np.ndarray,
         out_ints: int,
-        segment_ints: int = 1 << 28,
+        segment_ints: int = BLOCK_INTS << 18,
     ) -> np.ndarray:
         """Inverse of compress_segments for streams of ANY size.
 
@@ -362,7 +362,7 @@ class WahCodec:
         return np.concatenate(outs)
 
     def compress_batch_segments(
-        self, data: np.ndarray, segment_ints: int = 1 << 23
+        self, data: np.ndarray, segment_ints: int = BLOCK_INTS << 13
     ) -> list[np.ndarray]:
         """Batched columns of ANY length: (C, n) -> C exact per-column
         streams (BASELINE configs[3] is 256 columns x 1 Gbit = 32 GB
@@ -416,7 +416,7 @@ class WahCodec:
         self,
         streams: list[np.ndarray],
         out_ints: int,
-        segment_ints: int = 1 << 23,
+        segment_ints: int = BLOCK_INTS << 13,
     ) -> np.ndarray:
         """Inverse of compress_batch_segments: C per-column streams ->
         (C, out_ints) bitmaps, segment by segment (every segment is one
