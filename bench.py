@@ -11,14 +11,16 @@ vs_baseline is measured against the 10 GB/s/chip north-star
 Kernel timing method: the reference times kernels with cudaEvents,
 excluding PCIe transfers (compress.cu:125-172). The equivalent here —
 robust to host<->device link overhead dominating a single dispatch — is
-an amortized in-device loop: run the full jitted encode K times inside
-one computation (iterations serialized through a carried checksum) and
-take (t_K - t_1) / (K - 1) as the per-encode device time.
+the amortized in-device loop of utils.profiling.amortized_seconds:
+iterations serialized through a carried checksum, the loop bound a
+traced argument, the published slope measured between two LARGE
+iteration counts and cross-checked against the low-count slope (round-3
+methodology; the old two-point (t_K - t_1)/(K - 1) form was noise-prone
+through the ~100 ms tunnel dispatch).
 """
 from __future__ import annotations
 
 import json
-import time
 from functools import partial
 
 import numpy as np
@@ -27,7 +29,6 @@ import numpy as np
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from wah_tpu import WahCodec, golden
     from wah_tpu.api import _next_pow2
@@ -70,31 +71,17 @@ def main() -> None:
         )
 
     nv = np.int32(chunk_count(n))
-
-    @partial(jax.jit, static_argnums=(2,))
-    def loop(ints, nvv, K):
-        # iterations serialized via the carried checksum feeding nv
-        # (alternating the valid-chunk count defeats loop-invariant
-        # hoisting without copying the input)
-        def body(i, acc):
-            words, total = encode_padded(ints, nvv - (acc & 1))
-            return acc + total + words[1].astype(jnp.int32)
-
-        return lax.fori_loop(0, K, body, jnp.int32(0))
-
     dev = jax.device_put(data)
 
-    def best(K, reps=3):
-        int(loop(dev, nv, K))  # compile + warm
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            int(loop(dev, nv, K))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+    from wah_tpu.utils.profiling import amortized_seconds
 
-    K = 5
-    kernel_s = (best(K) - best(1)) / (K - 1)
+    def enc_step(p, ints, nvv):
+        # the {0,1} perturbation feeds the valid-chunk count, defeating
+        # loop-invariant hoisting without copying the input
+        words, total = encode_padded(ints, nvv - p)
+        return total + words[1].astype(jnp.int32)
+
+    kernel_s = amortized_seconds(enc_step, dev, nv, iters=5)
     gbps = data.nbytes / kernel_s / 1e9
     print(
         json.dumps(
