@@ -111,6 +111,43 @@ def test_pallas_long_fills_decode():
     np.testing.assert_array_equal(out[: len(data)], data)
 
 
+def test_pallas_decode_granule_window_extremes():
+    """Adversarial granule-window case: a hand-built stream where one
+    block's covering word sits at the MAXIMUM phase (offset 127 inside
+    its granule — the decode kernel's 7-step rotation bound) AND that
+    block consumes the full 1024 distinct words, touching lane 1150 of
+    the 1152-lane window (its capacity bound).
+
+    Construction: 127 literal words (chunks 0..126), a 770-chunk zero
+    fill (chunks 127..896), then 1151 literals (chunks 897..2047).
+    Block 1 (base 1024) is covered first by literal word
+    128 + (1024 - 897) = 255, and 255 % 128 == 127; it then consumes
+    words 255..1278 — 1024 literals from phase 127."""
+    rng = np.random.default_rng(77)
+    lits = rng.integers(1, golden.ONES31 - 1, size=1278, dtype=np.uint32)
+    stream = np.concatenate(
+        [
+            lits[:127],
+            np.array([golden.BIT31 | 770], dtype=np.uint32),
+            lits[127:],
+        ]
+    ).astype(np.uint32)
+    # sanity of the construction itself (offsets as described)
+    is_fill = (stream & golden.BIT31) != 0
+    counts = np.where(is_fill, stream & golden.LEN_MASK, 1)
+    offs = np.cumsum(counts) - counts
+    w_cov = int(np.searchsorted(offs, 1024, side="right")) - 1
+    assert w_cov == 255 and w_cov % 128 == 127
+    assert counts[w_cov:].sum() >= 1024  # block 1 consumes 1024 words
+
+    chunks = np.zeros(2048, dtype=np.uint32)
+    chunks[:127] = lits[:127]
+    chunks[897:] = lits[127:]
+    expected = golden.merge_chunks(chunks)
+    out = _decode(stream, 2 * BLOCK_CHUNKS)
+    np.testing.assert_array_equal(out, expected[: len(out)])
+
+
 def test_pallas_stitch_dense_prefix_garbage_contract():
     """Words beyond `total` are unspecified; everything before is exact."""
     data = random_bitmap(16 * BLOCK_INTS, 1 / 8, seed=9)
