@@ -63,10 +63,17 @@ def generate_random_data(n_ints: int, every_n: int, seed: int = 1337) -> np.ndar
     return out
 
 
+_LOOP_CACHE: dict = {}
+
+
 def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
     """Amortized on-device times for one encode and one decode of this
     config (marginal cost of extra in-device iterations; see
-    wah_tpu.utils.profiling.amortized_seconds)."""
+    wah_tpu.utils.profiling.amortized_seconds). Timing loops are cached
+    across configs: the 16 densities of each sweep size share shapes,
+    and a fresh compile through the remote tunnel (~1-2 min) would
+    otherwise dominate every config (measured: 2.7 min/config, ~12 h
+    for the 144-config protocol)."""
     from functools import partial
 
     import jax
@@ -79,15 +86,16 @@ def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
     if jax.default_backend() == "cpu":
         from wah_tpu.ops.decode import decode as dec_fn
         from wah_tpu.ops.encode import encode_padded as enc_fn
+
+        hint = "xla"
     else:
         from wah_tpu.api import WahCodec
         from wah_tpu.ops.pallas.decode_kernel import decode as dec_fn
         from wah_tpu.ops.pallas.encode_kernel import encode_padded
 
         # same static stitch selection the API applies host-side
-        enc_fn = partial(
-            encode_padded, stitch=WahCodec._stitch_hint(data)
-        )
+        hint = WahCodec._stitch_hint(data)
+        enc_fn = partial(encode_padded, stitch=hint)
 
     n = data.shape[0]
     nv = np.int32(chunk_count(n))
@@ -103,11 +111,17 @@ def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
         words, total = enc_fn(x, nvv - p)
         return total + words[1].astype(jnp.int32)
 
-    enc_s = amortized_seconds(enc_step, dev, nv, iters=iters)
+    enc_s = amortized_seconds(
+        enc_step, dev, nv, iters=iters,
+        cache=_LOOP_CACHE, cache_key=("enc", padded.shape[0], hint),
+    )
 
     m = stream.shape[0]
     cap = nb * BLOCK_CHUNKS
-    M = max(1024, -(-m // 1024) * 1024)
+    # pow2 bucket (the API's own policy, api._next_pow2): per-1024
+    # rounding gives every density its own shape and a fresh ~1-2 min
+    # remote compile; pow2 buckets are shared across densities
+    M = max(1024, 1 << (m - 1).bit_length())
     wpad = np.zeros(M, dtype=np.uint32)
     wpad[:m] = stream
     wdev = jax.device_put(wpad)
@@ -117,7 +131,10 @@ def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
         ints, n_ints = dfn(w, mm - p)
         return n_ints + ints[1].astype(jnp.int32)
 
-    dec_s = amortized_seconds(dec_step, wdev, np.int32(m), iters=iters)
+    dec_s = amortized_seconds(
+        dec_step, wdev, np.int32(m), iters=iters,
+        cache=_LOOP_CACHE, cache_key=("dec", M, cap),
+    )
     return enc_s, dec_s
 
 

@@ -37,6 +37,8 @@ def amortized_seconds(
     reps: int = 3,
     max_iters: int = 1 << 16,
     rel_tol: float = 0.15,
+    cache: dict | None = None,
+    cache_key=None,
 ) -> float:
     """Marginal per-iteration device time of `step(perturb, *args)`.
 
@@ -55,17 +57,32 @@ def amortized_seconds(
     2K (two *large* timings whose shared dispatch cost cancels), cross-
     checked against the (b1, bK) slope. Disagreement beyond rel_tol
     doubles K and remeasures instead of publishing a noise-born number.
+
+    cache/cache_key: jax.jit caches by function identity, so the fresh
+    `loop` closure built on every call RECOMPILES even for identical
+    shapes — ~1-2 min per config through the remote-compile tunnel,
+    which dominated the reference sweep (16 densities share each size
+    bucket). Callers timing many same-shape configs pass a dict and a
+    key covering everything the traced computation depends on (shapes,
+    static kernel choices); the compiled loop is then reused. The step
+    closure captured by a cache HIT is the cached one — the key must
+    pin its behavior.
     """
+    loop = cache.get(cache_key) if cache is not None else None
+    if loop is None:
 
-    @jax.jit
-    def loop(k, *a):
-        def body(i, acc):
-            p = (acc & 1).astype(jnp.int32)
-            return acc + step(p, *a).astype(jnp.int32)
+        @jax.jit
+        def loop(k, *a):
+            def body(i, acc):
+                p = (acc & 1).astype(jnp.int32)
+                return acc + step(p, *a).astype(jnp.int32)
 
-        return jax.lax.fori_loop(
-            0, k, body, jnp.int32(0), unroll=False
-        )
+            return jax.lax.fori_loop(
+                0, k, body, jnp.int32(0), unroll=False
+            )
+
+        if cache is not None:
+            cache[cache_key] = loop
 
     warmed = False
 
