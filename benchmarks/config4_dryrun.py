@@ -8,11 +8,23 @@ CPU mesh. It validates the mechanism and the int32 position envelope
 at 64e9 bits (2e9 ints, just under the 2^31-1 chunk cap), NOT pod
 throughput; DESIGN.md carries the pod efficiency projection.
 
+Execution is streamed through block-aligned SEGMENTS (8 x 8e9 bits),
+each a full mesh encode/decode round: segment streams concatenate
+exactly because fill runs never cross 1024-chunk blocks and segment
+boundaries are block-aligned (same argument as api.compress_segments,
+pinned by tests/test_api.py). The segmenting bounds host RAM — the
+pure-XLA CPU shard body materializes ~a dozen live span-sized
+intermediates per device, which at the full 2e9-int span peaked past
+117 GB RSS (OOM-killed); per-1/8-segment the same live set is ~16 GB.
+A real pod would not need it: each of 8 chips holds a 1 GB input
+shard, well inside 16 GB HBM.
+
     python -u -m benchmarks.config4_dryrun          # ~tens of minutes
 Writes benchmarks/config4_cpu_mesh.json.
 """
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -21,6 +33,7 @@ import numpy as np
 
 OUT = os.path.join(os.path.dirname(__file__), "config4_cpu_mesh.json")
 D = 8
+SEGMENTS = 8
 BITS = 64_000_000_000
 
 
@@ -42,48 +55,80 @@ def main() -> None:
     t0 = time.perf_counter()
     data = generate_random_data(n, 100)  # p = 0.01, configs[0] density
     t_gen = time.perf_counter() - t0
+    print(f"datagen {n} ints in {t_gen:.1f} s", flush=True)
 
     nv = chunk_count(n)
-    nb = -(-(-(-nv // BLOCK_CHUNKS)) // D) * D
-    padded = np.zeros(nb * BLOCK_INTS, dtype=np.uint32)
-    padded[:n] = data
+    nb = -(-nv // BLOCK_CHUNKS)
+    # segment size: ceil(nb/SEGMENTS) rounded up to a mesh multiple, so
+    # every segment is block-aligned AND shardable
+    nb_seg = -(-(-(-nb // SEGMENTS)) // D) * D  # ceil(ceil(nb/S)/D)*D
+    seg_ints = nb_seg * BLOCK_INTS
+    seg_chunks = nb_seg * BLOCK_CHUNKS
 
     mesh = dist.make_mesh(jax.devices())
-    t0 = time.perf_counter()
-    dev = jax.device_put(padded, NamedSharding(mesh, P(dist.AXIS)))
-    jax.block_until_ready(dev)
-    t_put = time.perf_counter() - t0
+    sharding = NamedSharding(mesh, P(dist.AXIS))
 
-    t0 = time.perf_counter()
-    words, totals = dist.encode_sharded(mesh, dev, np.int32(nv))
-    jax.block_until_ready((words, totals))
-    t_enc = time.perf_counter() - t0
+    t_put = t_enc = t_gather = t_dec = 0.0
+    streams: list[np.ndarray] = []
+    rt_ok = True
+    seg_buf = np.zeros(seg_ints, dtype=np.uint32)
+    for s in range(SEGMENTS):
+        lo = s * seg_ints
+        if lo >= n:
+            break
+        valid_ints = min(seg_ints, n - lo)
+        nv_seg = int(min(seg_chunks, nv - s * seg_chunks))
+        seg_buf[:valid_ints] = data[lo : lo + valid_ints]
+        seg_buf[valid_ints:] = 0
 
-    t0 = time.perf_counter()
-    stream = dist.gather_stream(words, totals)
-    t_gather = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dev = jax.device_put(seg_buf, sharding)
+        jax.block_until_ready(dev)
+        t_put += time.perf_counter() - t0
 
-    # bit-exactness 1: stream prefix == golden encode of a block-aligned
-    # prefix (fills never cross 1024-chunk block boundaries, so the
-    # words of the first kb blocks are identical in both — exact, not
-    # fuzzy)
+        t0 = time.perf_counter()
+        words, totals = dist.encode_sharded(mesh, dev, np.int32(nv_seg))
+        jax.block_until_ready((words, totals))
+        t_enc += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        stream_s = dist.gather_stream(words, totals)
+        t_gather += time.perf_counter() - t0
+        del dev, words, totals
+        gc.collect()
+
+        # roundtrip this segment: span-sharded decode of its stream
+        Mp = -(-len(stream_s) // 1024) * 1024
+        wpad = np.zeros(Mp, np.uint32)
+        wpad[: len(stream_s)] = stream_s
+        t0 = time.perf_counter()
+        ints, _ = dist.decode_sharded(
+            mesh, jax.device_put(wpad), np.int32(len(stream_s)), seg_chunks
+        )
+        jax.block_until_ready(ints)
+        t_dec += time.perf_counter() - t0
+        out_seg = dist.gather_bitmap(ints, valid_ints)
+        rt_ok = rt_ok and np.array_equal(out_seg, data[lo : lo + valid_ints])
+        del ints, out_seg, wpad
+        gc.collect()
+
+        streams.append(stream_s)
+        print(
+            f"segment {s}: {len(stream_s)} words, roundtrip_ok={rt_ok}",
+            flush=True,
+        )
+
+    stream = np.concatenate(streams)
+    del streams, seg_buf
+    gc.collect()
+
+    # bit-exactness vs the oracle: stream prefix == golden encode of a
+    # block-aligned prefix (fills never cross 1024-chunk block
+    # boundaries, so the words of the first kb blocks are identical in
+    # both — exact, not fuzzy)
     kb = 2048
-    gk = golden.encode(padded[: kb * BLOCK_INTS])
+    gk = golden.encode(data[: kb * BLOCK_INTS])
     golden_ok = np.array_equal(stream[: len(gk)], gk)
-
-    # bit-exactness 2: sharded decode of the gathered stream roundtrips
-    cap = nb * BLOCK_CHUNKS
-    Mp = -(-len(stream) // 1024) * 1024
-    wpad = np.zeros(Mp, np.uint32)
-    wpad[: len(stream)] = stream
-    t0 = time.perf_counter()
-    ints, _ = dist.decode_sharded(
-        mesh, jax.device_put(wpad), np.int32(len(stream)), cap
-    )
-    jax.block_until_ready(ints)
-    t_dec = time.perf_counter() - t0
-    out_ints = dist.gather_bitmap(ints, n)
-    rt_ok = np.array_equal(out_ints, data)
 
     res = {
         "metric": "config4_64e9bit_sharded_mesh_dryrun",
@@ -92,6 +137,7 @@ def main() -> None:
         "bits": BITS,
         "ints": n,
         "blocks": int(nb),
+        "segments": SEGMENTS,
         "density": 0.01,
         "compressed_words": int(len(stream)),
         "ratio": round(len(stream) / n, 4),

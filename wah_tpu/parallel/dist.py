@@ -28,7 +28,7 @@ Output streams/bitmaps stay sharded on device; `gather_stream` /
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -119,9 +119,19 @@ def encode_sharded(
     single-chip stream.
     """
     assert ints.shape[0] % (BLOCK_INTS * mesh.size) == 0, ints.shape
+    f = _encode_shardmap(mesh, stitch, use_pallas)
+    return f(ints.astype(_U), jnp.asarray(n_valid_chunks, dtype=_I))
+
+
+@lru_cache(maxsize=64)
+def _encode_shardmap(mesh: Mesh, stitch: str, use_pallas: bool | None):
+    """Cached jitted shard_map: rebuilding the wrapped callable per call
+    defeats the jit cache (a fresh partial() is a fresh cache key), so a
+    segment loop like benchmarks/config4_dryrun recompiled every
+    iteration (~26 s/segment on the CPU mesh)."""
     # check_vma=False: the local body may invoke Pallas kernels, whose
     # out_shapes don't carry the varying-axis metadata the checker needs
-    f = jax.shard_map(
+    return jax.jit(jax.shard_map(
         partial(
             _encode_local, stitch_variant=stitch, use_pallas=use_pallas
         ),
@@ -129,8 +139,7 @@ def encode_sharded(
         in_specs=(P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS)),
         check_vma=False,
-    )
-    return f(ints.astype(_U), jnp.asarray(n_valid_chunks, dtype=_I))
+    ))
 
 
 def _stitch_global_local(words_l: jnp.ndarray, totals_l: jnp.ndarray):
@@ -166,18 +175,23 @@ def stitch_global(
     chip holds the full compressed stream (it is small by the compression
     ratio), ready for sharded decode or host offload.
     """
+    stream, total = _stitch_shardmap(mesh)(words, totals)
+    return stream, total[0]
+
+
+@lru_cache(maxsize=64)
+def _stitch_shardmap(mesh: Mesh):
+    """Cached jitted shard_map (see _encode_shardmap)."""
     # check_vma=False: the outputs ARE replicated (every shard computes the
     # same stitch from the same all_gathered segments), but the dynamic
     # update-slice loop defeats static replication inference.
-    f = jax.shard_map(
+    return jax.jit(jax.shard_map(
         _stitch_global_local,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
-    )
-    stream, total = f(words, totals)
-    return stream, total[0]
+    ))
 
 
 def gather_stream(words: jax.Array, totals: jax.Array) -> np.ndarray:
@@ -244,14 +258,20 @@ def decode_sharded(
     D = mesh.size
     assert chunk_capacity % (32 * D) == 0, (chunk_capacity, D)
     chunks_l = chunk_capacity // D
-    f = jax.shard_map(
+    f = _decode_shardmap(mesh, chunks_l, use_pallas)
+    return f(words.astype(_U), jnp.asarray(m, dtype=_I))
+
+
+@lru_cache(maxsize=64)
+def _decode_shardmap(mesh: Mesh, chunks_l: int, use_pallas: bool | None):
+    """Cached jitted shard_map (see _encode_shardmap)."""
+    return jax.jit(jax.shard_map(
         partial(_decode_local, chunks_l=chunks_l, use_pallas=use_pallas),
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(AXIS), P(AXIS)),
         check_vma=False,
-    )
-    return f(words.astype(_U), jnp.asarray(m, dtype=_I))
+    ))
 
 
 def gather_bitmap(ints: jax.Array, n_ints: int) -> np.ndarray:
