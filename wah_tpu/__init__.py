@@ -16,6 +16,7 @@ Public API:
 """
 from . import constants, golden
 from .api import WahCodec, compress, decompress, validate_stream
+from .interop import rechunk_stream
 
 __version__ = "0.1.0"
 
@@ -26,5 +27,6 @@ __all__ = [
     "compress",
     "decompress",
     "validate_stream",
+    "rechunk_stream",
     "__version__",
 ]
