@@ -22,9 +22,12 @@ run() { # run <timeout_s> <sizes...> -- <reps>
   echo "[sweep] sizes=${sizes[*]} rc=$?" >>"$LOG"
 }
 
+# 992 MB (s=256) configs run BEFORE s=128: they are the sweep's
+# headline scale and the round can end mid-sweep — resume keeps
+# whatever completed. s=16/32 phases ran earlier (resume skips them).
 run 4500 16 -- 10
 run 4500 32 -- 5
 run 6000 64 -- 3
+run 12000 256 -- 2
 run 8000 128 -- 2
-run 11000 256 -- 2
 echo "[sweep] all done" >>"$LOG"
