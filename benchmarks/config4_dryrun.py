@@ -33,8 +33,29 @@ import numpy as np
 
 OUT = os.path.join(os.path.dirname(__file__), "config4_cpu_mesh.json")
 D = 8
-SEGMENTS = 8
+SEGMENTS = 16
 BITS = 64_000_000_000
+
+
+def _rss_gb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1048576
+    return 0.0
+
+
+def _trim() -> None:
+    """Return freed glibc-arena memory to the OS: the 8 XLA CPU device
+    threads each churn ~GB buffers per segment and glibc retains freed
+    chunks in per-thread arenas — RSS climbed ~15 GB/segment to an OOM
+    kill at 106 GB even though live data was ~12 GB."""
+    import ctypes
+
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except OSError:
+        pass
 
 
 def main() -> None:
@@ -113,8 +134,10 @@ def main() -> None:
         gc.collect()
 
         streams.append(stream_s)
+        _trim()
         print(
-            f"segment {s}: {len(stream_s)} words, roundtrip_ok={rt_ok}",
+            f"segment {s}: {len(stream_s)} words, roundtrip_ok={rt_ok}, "
+            f"rss={_rss_gb():.1f} GB",
             flush=True,
         )
 
