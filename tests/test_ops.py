@@ -131,3 +131,21 @@ def test_roundtrip_jax_only():
     ints, n_ints = jax.jit(jdec.decode, static_argnums=2)(words, total, cap)
     assert int(n_ints) == data.shape[0]
     np.testing.assert_array_equal(np.asarray(ints)[: data.shape[0]], data)
+
+
+def test_decode_n_ints_past_int32_bit_count():
+    """31*n_chunks overflows int32 once n_chunks > 69,273,666 (a 268 MB
+    bitmap): the s=128 sweep config (496 MB, density 0.5) decoded a
+    NEGATIVE n_ints and the host sliced the output short. n_ints must
+    use the overflow-free form n - n//32."""
+    from wah_tpu.constants import BIT31
+
+    nb = 67_652  # n_chunks = nb*1024 = 69,275,648, past the threshold
+    words = np.full(nb, np.uint32(BIT31 | 1024))
+    cap = nb * 1024
+    ints, n_ints = jax.jit(jdec.decode, static_argnums=2)(
+        jnp.asarray(words), np.int32(nb), cap
+    )
+    nc = nb * 1024
+    assert int(n_ints) == nc - nc // 32 == (31 * nc + 31) // 32
+    assert int(jnp.count_nonzero(ints)) == 0
