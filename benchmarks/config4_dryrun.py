@@ -8,16 +8,16 @@ CPU mesh. It validates the mechanism and the int32 position envelope
 at 64e9 bits (2e9 ints, just under the 2^31-1 chunk cap), NOT pod
 throughput; DESIGN.md carries the pod efficiency projection.
 
-Execution is streamed through block-aligned SEGMENTS (8 x 8e9 bits),
+Execution is streamed through block-aligned SEGMENTS (16 x 4e9 bits),
 each a full mesh encode/decode round: segment streams concatenate
 exactly because fill runs never cross 1024-chunk blocks and segment
 boundaries are block-aligned (same argument as api.compress_segments,
-pinned by tests/test_api.py). The segmenting bounds host RAM — the
-pure-XLA CPU shard body materializes ~a dozen live span-sized
-intermediates per device, which at the full 2e9-int span peaked past
-117 GB RSS (OOM-killed); per-1/8-segment the same live set is ~16 GB.
-A real pod would not need it: each of 8 chips holds a 1 GB input
-shard, well inside 16 GB HBM.
+pinned by tests/test_api.py); every inter-segment seam is additionally
+golden-verified word-exact in the gathered stream. The segmenting
+bounds host RAM — the pure-XLA CPU shard body materializes ~a dozen
+live span-sized intermediates per device, which at the full 2e9-int
+span peaked past 117 GB RSS (OOM-killed). A real pod would not need
+it: each of 8 chips holds a 1 GB input shard, well inside 16 GB HBM.
 
     python -u -m benchmarks.config4_dryrun          # ~tens of minutes
 Writes benchmarks/config4_cpu_mesh.json.
@@ -141,6 +141,7 @@ def main() -> None:
             flush=True,
         )
 
+    seg_lens = [len(x) for x in streams]
     stream = np.concatenate(streams)
     del streams, seg_buf
     gc.collect()
@@ -152,6 +153,26 @@ def main() -> None:
     kb = 2048
     gk = golden.encode(data[: kb * BLOCK_INTS])
     golden_ok = np.array_equal(stream[: len(gk)], gk)
+
+    # every inter-segment seam, golden-verified in the CONCATENATED
+    # stream (per-segment roundtrips alone can't see a misplaced seam):
+    # the 2 blocks before boundary block b end exactly at the segment's
+    # stream edge, the 2 after start exactly there — block independence
+    # makes both windows word-exact against the oracle
+    seams_ok = True
+    edge = 0
+    for s in range(1, len(seg_lens)):
+        edge += seg_lens[s - 1]
+        b = s * nb_seg
+        lo, hi = (b - 2) * BLOCK_INTS, min((b + 2) * BLOCK_INTS, n)
+        g_pre = golden.encode(data[lo : b * BLOCK_INTS])
+        g_post = golden.encode(data[b * BLOCK_INTS : hi])
+        seams_ok = (
+            seams_ok
+            and np.array_equal(stream[edge - len(g_pre) : edge], g_pre)
+            and np.array_equal(stream[edge : edge + len(g_post)], g_post)
+        )
+    golden_ok = golden_ok and seams_ok
 
     res = {
         "metric": "config4_64e9bit_sharded_mesh_dryrun",

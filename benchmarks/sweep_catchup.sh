@@ -15,19 +15,24 @@ rows_for() { # rows_for <n_ints>
 for spec in "16:10:4500" "32:5:4500" "64:3:6000" "128:2:8000" "256:2:11000"; do
   s=${spec%%:*}; rest=${spec#*:}; reps=${rest%%:*}; t=${rest#*:}
   n=$((s * 1024 * 992))
-  for attempt in 1 2 3; do
+  attempt=0
+  gate_waits=0
+  while [ "$attempt" -lt 3 ]; do
     have=$(rows_for "$n")
     [ "$have" -ge 16 ] && break
-    echo "[catchup] s=$s attempt=$attempt have=$have/16" >>"$LOG"
-    # sanity gate: don't burn an attempt on a dead tunnel
+    # sanity gate: a dead tunnel must not burn a real attempt
     if ! timeout 120 python -c "
 import jax, jax.numpy as jnp
 assert int(jnp.sum(jnp.arange(8))) == 28
 " >>"$LOG" 2>&1; then
-      echo "[catchup] sanity FAILED; waiting 300 s" >>"$LOG"
+      gate_waits=$((gate_waits + 1))
+      echo "[catchup] sanity FAILED ($gate_waits); waiting 300 s" >>"$LOG"
+      [ "$gate_waits" -ge 6 ] && break  # ~30 min down: give up this size
       sleep 300
       continue
     fi
+    attempt=$((attempt + 1))
+    echo "[catchup] s=$s attempt=$attempt have=$have/16" >>"$LOG"
     timeout "$t" python -u -m benchmarks.report \
       --sizes "$s" --reps "$reps" --device-timing --out "$OUT" \
       >>"$LOG" 2>&1

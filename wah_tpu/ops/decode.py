@@ -165,7 +165,7 @@ def decode(
     chunks, n_chunks = decode_chunks(words, m, chunk_capacity)
     ints = bits.merge_chunks(chunks)
     # ceil(31*n/32) = n - n//32, overflow-free: 31*n_chunks wraps int32
-    # past n_chunks = 2^27 (~496 MB bitmaps; see pallas/decode_kernel)
+    # past n_chunks = 69,273,666 (~268 MB bitmaps; see pallas/decode_kernel)
     n_ints = n_chunks - n_chunks // 32
     return ints, n_ints
 

@@ -374,9 +374,9 @@ def decode(
     ints2d = _run_decode(rbase, meta, words_t, rbt, nbo_p)
     ints = ints2d.reshape(-1)[: nbo * BLOCK_INTS]
     # ceil(31*n/32) written overflow-free as n - n//32: 31*n_chunks
-    # wraps int32 past n_chunks = 2^27 (a 496 MB bitmap decoded a
-    # NEGATIVE n_ints and the host sliced the output short — caught by
-    # the s=128 sweep config, density 0.5)
+    # wraps int32 past n_chunks = 69,273,666 (~268 MB of bitmap; the
+    # 496 MB s=128 sweep config decoded a NEGATIVE n_ints and the host
+    # sliced the output short)
     n_ints = n_chunks - n_chunks // 32
     return ints, n_ints
 
