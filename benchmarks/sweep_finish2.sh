@@ -17,8 +17,23 @@ OUT=benchmarks/results_v5e.txt
 LOG=/tmp/sweep/sweep5.log
 mkdir -p /tmp/sweep
 
+sane() { # a dead tunnel must not burn a real attempt (see sweep_catchup.sh)
+  local waits=0
+  while ! timeout 120 python -c "
+import jax, jax.numpy as jnp
+assert int(jnp.sum(jnp.arange(8))) == 28
+" >>"$LOG" 2>&1; do
+    waits=$((waits + 1))
+    echo "[sweep5] sanity FAILED ($waits); waiting 300 s" >>"$LOG"
+    [ "$waits" -ge 6 ] && return 1   # ~30 min down: give up
+    sleep 300
+  done
+}
+
+FAILED=0
 run() { # run <timeout_s> <size> <reps>
   for attempt in 1 2; do
+    if ! sane; then break; fi
     echo "[sweep5] s=$2 reps=$3 attempt=$attempt $(date +%T)" >>"$LOG"
     timeout "$1" python -u -m benchmarks.report \
       --sizes "$2" --reps "$3" --device-timing --out "$OUT" \
@@ -26,10 +41,17 @@ run() { # run <timeout_s> <size> <reps>
     echo "[sweep5] s=$2 attempt=$attempt rc=$? (retrying)" >>"$LOG"
     sleep 45
   done
+  echo "[sweep5] s=$2 GIVING UP" >>"$LOG"
+  FAILED=1
+  return 1
 }
 
 run 2400 16 2
 run 1500 32 2
 run 14000 256 1
 run 10000 128 1
+if [ "$FAILED" -ne 0 ]; then
+  echo "[sweep5] done WITH FAILURES $(date +%T)" >>"$LOG"
+  exit 1
+fi
 echo "[sweep5] all done $(date +%T)" >>"$LOG"

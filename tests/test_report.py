@@ -89,3 +89,27 @@ def test_summarize_inject(tmp_path):
     text = md.read_text()
     assert "stale" not in text and "| new |" in text
     assert text.startswith("head\n") and text.endswith("tail\n")
+
+
+def test_readme_sweep_table_not_stale():
+    """The README's sweep-summary block must equal the table regenerated
+    from the committed results file (summarize.py's stated guarantee:
+    docs and measurements cannot drift). Regenerate with
+    `python -m benchmarks.summarize benchmarks/results_v5e.txt --inject README.md`.
+    """
+    import os
+
+    from benchmarks import summarize
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = os.path.join(root, "benchmarks", "results_v5e.txt")
+    readme = os.path.join(root, "README.md")
+    table = summarize.summarize(summarize.load_rows(results))
+    text = open(readme).read()
+    lo = text.index(summarize.MARK_BEGIN) + len(summarize.MARK_BEGIN)
+    hi = text.index(summarize.MARK_END)
+    assert text[lo:hi].strip() == table.strip(), (
+        "README sweep table is stale; run "
+        "`python -m benchmarks.summarize benchmarks/results_v5e.txt "
+        "--inject README.md`"
+    )
