@@ -67,7 +67,9 @@ def main() -> None:
         # same static stitch selection the API applies from its
         # host-side density sample (api.WahCodec._stitch_hint)
         encode_padded = partial(
-            encode_kernel.encode_padded, stitch=WahCodec._stitch_hint(data)
+            encode_kernel.encode_padded,
+            stitch=WahCodec._stitch_hint(data),
+            adaptive=WahCodec._adaptive_hint(data),
         )
 
     nv = np.int32(chunk_count(n))

@@ -93,9 +93,11 @@ def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
         from wah_tpu.ops.pallas.decode_kernel import decode as dec_fn
         from wah_tpu.ops.pallas.encode_kernel import encode_padded
 
-        # same static stitch selection the API applies host-side
-        hint = WahCodec._stitch_hint(data)
-        enc_fn = partial(encode_padded, stitch=hint)
+        # same static stitch + adaptive selection the API applies
+        # host-side
+        ad = WahCodec._adaptive_hint(data)
+        hint = (WahCodec._stitch_hint(data), ad)
+        enc_fn = partial(encode_padded, stitch=hint[0], adaptive=ad)
 
     n = data.shape[0]
     nv = np.int32(chunk_count(n))
@@ -125,7 +127,15 @@ def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
     wpad = np.zeros(M, dtype=np.uint32)
     wpad[:m] = stream
     wdev = jax.device_put(wpad)
-    dfn = partial(dec_fn, chunk_capacity=cap)
+    if jax.default_backend() == "cpu":
+        dfn = partial(dec_fn, chunk_capacity=cap)
+        dkey = ("dec", M, cap)
+    else:
+        from wah_tpu.api import WahCodec as _WC
+
+        dad = _WC._decode_adaptive_hint(stream)
+        dfn = partial(dec_fn, chunk_capacity=cap, adaptive=dad)
+        dkey = ("dec", M, cap, dad)
 
     def dec_step(p, w, mm):
         ints, n_ints = dfn(w, mm - p)
@@ -133,7 +143,7 @@ def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
 
     dec_s = amortized_seconds(
         dec_step, wdev, np.int32(m), iters=iters,
-        cache=_LOOP_CACHE, cache_key=("dec", M, cap),
+        cache=_LOOP_CACHE, cache_key=dkey,
     )
     return enc_s, dec_s
 

@@ -228,3 +228,126 @@ def test_stitch_vmem_meta_path_matches_golden(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(words)[: int(total)], golden.encode(data), err_msg=name
         )
+
+
+# ---------------------------------------------------------------------------
+# adaptive pass-skipping boundaries (encode_kernel.ADAPTIVE)
+# ---------------------------------------------------------------------------
+
+def _bitmap_of_chunks(chunks: np.ndarray) -> np.ndarray:
+    """Inverse of the 32->31 repartition: craft a bitmap whose chunk
+    sequence is exactly `chunks` (len % 1024 == 0)."""
+    return golden.merge_chunks(np.asarray(chunks, dtype=np.uint32))
+
+
+def _encode_adaptive(data: np.ndarray):
+    n = len(data)
+    nv = chunk_count(n)
+    nb = -(-nv // BLOCK_CHUNKS)
+    padded = np.zeros(nb * encode_kernel.BLOCK_INTS
+                      if hasattr(encode_kernel, "BLOCK_INTS")
+                      else nb * BLOCK_INTS, dtype=np.uint32)
+    padded[:n] = data
+    words, total = jax.jit(
+        lambda p, v: encode_kernel.encode_padded(p, v, adaptive=True)
+    )(padded, np.int32(nv))
+    return np.asarray(words)[: int(total)]
+
+
+def _decode_adaptive(words: np.ndarray, cap: int):
+    M = max(1024, -(-len(words) // 1024) * 1024)
+    padded = np.zeros(M, dtype=np.uint32)
+    padded[: len(words)] = words
+    ints, n_ints = jax.jit(
+        lambda w, m: decode_kernel.decode(w, m, cap, adaptive=True),
+        static_argnums=(),
+    )(padded, np.int32(len(words)))
+    return np.asarray(ints)[: int(n_ints)]
+
+
+def _adaptive_roundtrip(chunks_plan):
+    """Both kernel variants (adaptive and plain) must produce the golden
+    stream and roundtrip the bitmap."""
+    data = _bitmap_of_chunks(chunks_plan)
+    want = golden.encode(data)
+    nv = chunk_count(len(data))
+    cap = -(-nv // BLOCK_CHUNKS) * BLOCK_CHUNKS
+    np.testing.assert_array_equal(_encode(data), want)
+    np.testing.assert_array_equal(_encode_adaptive(data), want)
+    np.testing.assert_array_equal(_decode(want, cap)[: len(data)], data)
+    np.testing.assert_array_equal(
+        _decode_adaptive(want, cap)[: len(data)], data
+    )
+
+
+@pytest.mark.parametrize("b", range(10))
+def test_adaptive_run_length_boundaries(b):
+    """One zero run of exactly 2^b chunks and one of 2^b + 1, embedded
+    in literals: pins the per-pass gating thresholds — the encode
+    compaction displacement, the decode expansion displacement, and the
+    decode cummax forward-fill distance all sit exactly at a pass's
+    stride (the off-by-one failure mode of lax.cond-gated log passes)."""
+    rng = np.random.default_rng(100 + b)
+    n = 2 * BLOCK_CHUNKS
+    chunks = rng.integers(1, golden.ONES31 - 1, size=n, dtype=np.uint32)
+    k = 1 << b
+    chunks[10 : 10 + k] = 0  # run of exactly 2^b
+    start2 = BLOCK_CHUNKS + 5
+    chunks[start2 : start2 + k + 1] = golden.ONES31  # run of 2^b + 1
+    _adaptive_roundtrip(chunks)
+
+
+def test_adaptive_fast_path_all_start_with_fills():
+    """Every chunk its own run (alternating literal / zero / ones):
+    takes the all-start fast path with length-1 fill words."""
+    rng = np.random.default_rng(7)
+    n = 2 * BLOCK_CHUNKS
+    chunks = rng.integers(1, golden.ONES31 - 1, size=n, dtype=np.uint32)
+    chunks[0::3] = 0
+    chunks[1::3] = golden.ONES31
+    _adaptive_roundtrip(chunks)
+
+
+def test_adaptive_mixed_tile_rows():
+    """Blocks with wildly different profiles share one grid tile: an
+    all-literal block, an all-zero block (displacement 1023), and a
+    boundary-run block — the tile-wide max gates must serve all three."""
+    rng = np.random.default_rng(8)
+    n = 4 * BLOCK_CHUNKS
+    chunks = rng.integers(1, golden.ONES31 - 1, size=n, dtype=np.uint32)
+    chunks[BLOCK_CHUNKS : 2 * BLOCK_CHUNKS] = 0
+    chunks[2 * BLOCK_CHUNKS + 100 : 2 * BLOCK_CHUNKS + 612] = golden.ONES31
+    _adaptive_roundtrip(chunks)
+
+
+def test_adaptive_matches_plain_on_clustered():
+    """The adaptive and plain kernel variants produce bit-identical
+    streams on clustered (Zipfian) data — the in-kernel tier conds only
+    gate no-op passes."""
+    data = clustered_bitmap(8 * BLOCK_INTS, seed=11)
+    want = _encode(data)
+    np.testing.assert_array_equal(_encode_adaptive(data), want)
+    np.testing.assert_array_equal(want, golden.encode(data))
+
+
+def test_adaptive_hints():
+    """Host hints pick the adaptive variants exactly for fill-free
+    samples."""
+    from wah_tpu.api import WahCodec
+
+    rng = np.random.default_rng(3)
+    # block-multiple size: a partial tail block would append a zero
+    # fill for the padding chunks and (correctly) disable the hint
+    dense = rng.integers(
+        1, 2**32 - 1, size=4 * BLOCK_INTS, dtype=np.uint64
+    ).astype(np.uint32)
+    assert WahCodec._adaptive_hint(dense)
+    sparse = np.zeros(4096, np.uint32)
+    assert not WahCodec._adaptive_hint(sparse)
+    allones = np.full(4096, 0xFFFFFFFF, np.uint32)
+    assert not WahCodec._adaptive_hint(allones)
+
+    lit_stream = golden.encode(dense)
+    assert WahCodec._decode_adaptive_hint(lit_stream)
+    fill_stream = golden.encode(np.zeros(992 * 4, np.uint32))
+    assert not WahCodec._decode_adaptive_hint(fill_stream)

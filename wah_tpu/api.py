@@ -103,18 +103,21 @@ class WahCodec:
         except ImportError:
             return False
 
-    def _encode_fn(self, nb: int, stitch: str = "auto"):
+    def _encode_fn(self, nb: int, stitch: str = "auto",
+                   adaptive: bool = False):
         use_pallas = self._use_pallas()
         if not use_pallas:
             stitch = "auto"  # XLA path has no stitch variants
-        key = (nb, use_pallas, stitch)
+            adaptive = False
+        key = (nb, use_pallas, stitch, adaptive)
         fn = self._encode_fns.get(key)
         if fn is None:
             if use_pallas:
                 from .ops.pallas import encode_kernel
 
                 fn = jax.jit(
-                    partial(encode_kernel.encode_padded, stitch=stitch)
+                    partial(encode_kernel.encode_padded, stitch=stitch,
+                            adaptive=adaptive)
                 )
             else:
                 fn = jax.jit(_encode_ops.encode_padded)
@@ -146,15 +149,55 @@ class WahCodec:
             return "v3"
         return "v1" if frac < 0.02 else "v3"
 
-    def _decode_fn(self, M: int, cap: int):
-        key = (M, cap, self._use_pallas())
+    @staticmethod
+    def _adaptive_hint(data: np.ndarray) -> bool:
+        """Static choice of the data-adaptive encode kernel variant
+        (see encode_kernel._resolve_adaptive) from the same strided
+        host sample as _stitch_hint: the adaptive variant's in-kernel
+        fast paths fire only when whole tiles are literal runs, i.e.
+        when essentially NO raw word is 0x0 or all-ones (a 31-bit chunk
+        is a fill only if a full 32-bit word neighborhood is constant).
+        Measured v5e protocol (130 MB): density 2^-1 encode 24.3 ->
+        39.3 GB/s with the adaptive variant, but 24.3 -> 21.6 at 2^-4
+        (taken cond regions cost); choose it only when the sample shows
+        ~no fillable words. Both variants are bit-exact on any data —
+        a wrong hint only costs speed."""
+        step = max(1, data.shape[0] >> 16)
+        sample = data[::step]
+        if sample.shape[0] == 0:
+            return False
+        fillable = int(np.count_nonzero(sample == 0)) + int(
+            np.count_nonzero(sample == np.uint32(0xFFFFFFFF))
+        )
+        return fillable == 0
+
+    @staticmethod
+    def _decode_adaptive_hint(words: np.ndarray) -> bool:
+        """Adaptive decode hint from the STREAM: the decode trivial
+        tier fires when every covering word covers one chunk, i.e. the
+        stream is (almost) all literals. Sample the words; choose the
+        adaptive variant only when no fill words show up (protocol
+        measurements mirror encode: +49% at 2^-1, -7% at 2^-4)."""
+        step = max(1, words.shape[0] >> 16)
+        sample = words[::step]
+        if sample.shape[0] == 0:
+            return False
+        fills = int(np.count_nonzero(sample & np.uint32(BIT31)))
+        return fills == 0
+
+    def _decode_fn(self, M: int, cap: int, adaptive: bool = False):
+        use_pallas = self._use_pallas()
+        if not use_pallas:
+            adaptive = False
+        key = (M, cap, use_pallas, adaptive)
         fn = self._decode_fns.get(key)
         if fn is None:
-            if key[2]:
+            if use_pallas:
                 from .ops.pallas import decode_kernel
 
                 fn = jax.jit(
-                    partial(decode_kernel.decode, chunk_capacity=cap)
+                    partial(decode_kernel.decode, chunk_capacity=cap,
+                            adaptive=adaptive)
                 )
             else:
                 fn = jax.jit(partial(_decode_ops.decode, chunk_capacity=cap))
@@ -189,7 +232,8 @@ class WahCodec:
             nb = max(nb, TILE_BLOCKS)
         padded = np.zeros((C, nb * BLOCK_INTS), dtype=np.uint32)
         padded[:, :n] = data
-        key = ("batch_enc", C, nb, use_pallas)
+        adaptive = use_pallas and self._adaptive_hint(data.reshape(-1))
+        key = ("batch_enc", C, nb, use_pallas, adaptive)
         fn = self._encode_fns.get(key)
         if fn is None:
             if use_pallas:
@@ -199,7 +243,8 @@ class WahCodec:
                 # while reshaping a (C, nb*992) DEVICE array to block
                 # rows is a full layout-changing HBM copy (~22 ms/GB
                 # measured, benchmarks/batch_bench.py)
-                fn = jax.jit(partial(encode_kernel.encode_rows_batch, C=C))
+                fn = jax.jit(partial(encode_kernel.encode_rows_batch, C=C,
+                                     adaptive=adaptive))
             else:
                 fn = jax.jit(_encode_ops.encode_batch, static_argnums=(1,))
             self._encode_fns[key] = fn
@@ -250,7 +295,10 @@ class WahCodec:
                 wpad[:, :M] = words
                 words = wpad
                 M = Mp
-        key = ("batch_dec", C, M, cap, use_pallas)
+        adaptive = use_pallas and self._decode_adaptive_hint(
+            words.reshape(-1)
+        )
+        key = ("batch_dec", C, M, cap, use_pallas, adaptive)
         fn = self._decode_fns.get(key)
         if fn is None:
             if use_pallas:
@@ -262,6 +310,7 @@ class WahCodec:
                         decode_kernel.decode_rows_batch,
                         C=C,
                         col_chunk_capacity=cap,
+                        adaptive=adaptive,
                     )
                 )
             else:
@@ -516,7 +565,9 @@ class WahCodec:
         dev.block_until_ready()
         t.stop("to_device")
 
-        fn = self._encode_fn(nb_b, self._stitch_hint(data))
+        fn = self._encode_fn(
+            nb_b, self._stitch_hint(data), self._adaptive_hint(data)
+        )
         t.start()
         words, total = fn(dev, np.int32(nv))
         jax.block_until_ready((words, total))
@@ -559,7 +610,7 @@ class WahCodec:
         dev.block_until_ready()
         t.stop("to_device")
 
-        fn = self._decode_fn(M, cap)
+        fn = self._decode_fn(M, cap, self._decode_adaptive_hint(words))
         t.start()
         ints, n_ints = fn(dev, np.int32(m))
         jax.block_until_ready((ints, n_ints))

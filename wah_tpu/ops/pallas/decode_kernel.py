@@ -89,6 +89,15 @@ MXU_SCANS = _os.environ.get("WAH_MXU_SCANS", "0") == "1"
 # perf probes (e.g. WAH_DEC_PROBE=noexp): disable the expansion /
 # cummax families to attribute kernel time; output is WRONG under them
 _PROBE = set(_os.environ.get("WAH_DEC_PROBE", "").split(","))
+# data-adaptive tier selection (static kernel variant, selected on the
+# host via WahCodec hints — see encode_kernel._resolve_adaptive): per-
+# tile scalar bounds choose between trivial / small / full expansion +
+# forward-fill variants with ONE in-kernel lax.cond. Per-pass gating
+# measured SLOWER (each taken scf region cost ~0.2-0.35 ms in this
+# kernel), and even the tiered conds lose ~7% when the small/full tier
+# is consistently taken (protocol sweep, 130 MB 2^-4: 23.5 -> 21.8
+# GB/s) while winning +49% when windows are all-literal (2^-1: 21.0 ->
+# 31.3 GB/s) — hence a host-selected static variant, not always-on.
 
 
 def _cumsum(x, nbits: int, col):
@@ -144,7 +153,8 @@ def _rotate_left_rows(x, s, nbits: int):
 
 def _decode_body(
     rbase_ref, meta_ref, words_ref, rbt_ref, mmasks_ref, tri_ref,
-    ints_ref, wbulk, rbw, wscr, rloc_ref, rloc_s, sem, sem2
+    ints_ref, wbulk, rbw, wscr, rloc_ref, rloc_s, sem, sem2,
+    *, adaptive: bool,
 ):
     pid = pl.program_id(0)
     B = ints_ref.shape[0]
@@ -260,31 +270,84 @@ def _decode_body(
     # selects through the edge-masked source mask, so the value shifts
     # are raw rotations. Arrivals land exactly at their target, so the
     # cummax key is reconstructed afterwards from (lane, payload).
+    #
+    # Adaptive TIERS (measured v5e, 130 MB: per-pass lax.cond gating of
+    # the same families cost ~0.2-0.35 ms per TAKEN region — 6.05 ->
+    # 7.8 ms at 2^-4 — so the choice is one cond over whole variants):
+    #   trivial — every covering word covers one chunk (incompressible):
+    #     no routing, no forward fill, chunks = arrivals;
+    #   small   — displacement < 64 and runs <= 64 (ratio~1 data):
+    #     6 expansion + 6 cummax passes;
+    #   full    — 10 + 10.
     dok = jnp.where((tok1 & 1) != 0, tok1 - 2 * col, zi)
-    for b in reversed(range(10 if "noexp" not in _PROBE else 0)):
+
+    def _exp(b):
         k = 1 << b
-        gated = jnp.where((dok & 1) != 0, dok & (2 * k), zi)
-        srcm = shift_right(gated, k, zi, col)
-        src = srcm != 0
-        val_d = jnp.where(src, pltpu.roll(val_d, shift=k, axis=1), val_d)
-        dok = jnp.where(src, pltpu.roll(dok - 2 * k, shift=k, axis=1),
-                        jnp.where(gated != 0, zi, dok))
-    ok_d = (dok & 1) != 0
-    val_d = jnp.where(ok_d, val_d, zero_u)
 
-    # key reconstruction: the offset at an arrival lane IS the lane
-    # index; only the all-ones filler forward-fills ONES (an expanded
-    # ONES31 can only be a one-fill payload — literal chunks 0/ONES31
-    # never occur in a valid stream).
-    t_d = jnp.where(val_d == _U(ONES31), _I(_T_ONES), _I(1))
-    key_d = jnp.where(ok_d, (col << 2) | t_d, _I(0))
+        def f(args):
+            val_d, dok = args
+            gated = jnp.where((dok & 1) != 0, dok & (2 * k), zi)
+            srcm = shift_right(gated, k, zi, col)
+            src = srcm != 0
+            return (
+                jnp.where(src, pltpu.roll(val_d, shift=k, axis=1), val_d),
+                jnp.where(
+                    src,
+                    pltpu.roll(dok - 2 * k, shift=k, axis=1),
+                    jnp.where(gated != 0, zi, dok),
+                ),
+            )
 
-    cm = _cummax(key_d, 10 if "nocummax" not in _PROBE else 0, _I(0), col)
-    is_start = (cm >> 2) == col
-    covered_ones = (cm & 3) == _I(_T_ONES)
-    chunks = jnp.where(
-        is_start, val_d, jnp.where(covered_ones, _U(ONES31), zero_u)
-    )
+        return f
+
+    def _route_fill(ne: int, nc: int):
+        """Expansion with ne passes (valid while max displacement
+        < 2^ne) + cummax forward fill with nc passes (valid while every
+        covering run <= 2^nc; nc=0 means every live lane is an arrival).
+        """
+
+        def f(args):
+            val_d, dok = args
+            if "noexp" not in _PROBE:
+                for b in reversed(range(ne)):
+                    val_d, dok = _exp(b)((val_d, dok))
+            ok_d = (dok & 1) != 0
+            val_d = jnp.where(ok_d, val_d, zero_u)
+            if nc == 0:
+                return val_d
+            # key reconstruction: the offset at an arrival lane IS the
+            # lane index; only the all-ones filler forward-fills ONES
+            # (an expanded ONES31 can only be a one-fill payload —
+            # literal chunks 0/ONES31 never occur in a valid stream).
+            t_d = jnp.where(val_d == _U(ONES31), _I(_T_ONES), _I(1))
+            key_d = jnp.where(ok_d, (col << 2) | t_d, _I(0))
+            cm = _cummax(
+                key_d, nc if "nocummax" not in _PROBE else 0, _I(0), col
+            )
+            is_start = (cm >> 2) == col
+            covered_ones = (cm & 3) == _I(_T_ONES)
+            return jnp.where(
+                is_start, val_d, jnp.where(covered_ones, _U(ONES31), zero_u)
+            )
+
+        return f
+
+    if adaptive:
+        emax = jnp.max(dok) >> 1  # max (target - lane) over the tile
+        gmax = jnp.max(jnp.where(ok, cnt, zi))  # longest covering run
+        chunks = jax.lax.cond(
+            (emax == 0) & (gmax <= 1),
+            _route_fill(0, 0),
+            lambda a: jax.lax.cond(
+                (emax < 64) & (gmax <= 64),
+                _route_fill(6, 6),
+                _route_fill(10, 10),
+                a,
+            ),
+            (val_d, dok),
+        )
+    else:
+        chunks = _route_fill(10, 10)((val_d, dok))
     # meta[3] is a position mask: 0x7FFFFFFF (identity) for a single
     # stream, col_chunk_capacity-1 for flattened batched columns (each
     # column decodes the same valid count at its own pow2-aligned base)
@@ -311,7 +374,8 @@ def _decode_body(
 
 
 def decode(
-    words: jnp.ndarray, m, chunk_capacity: int, chunk_base=0
+    words: jnp.ndarray, m, chunk_capacity: int, chunk_base=0,
+    adaptive: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel equivalent of ops.decode.decode: words[:m] ->
     (ints (chunk_capacity//32*31,), n_ints). chunk_capacity must be a
@@ -371,7 +435,7 @@ def decode(
     meta = jnp.stack(
         [n_chunks, m, base_i, jnp.full((), 0x7FFFFFFF, _I)]
     )
-    ints2d = _run_decode(rbase, meta, words_t, rbt, nbo_p)
+    ints2d = _run_decode(rbase, meta, words_t, rbt, nbo_p, adaptive)
     ints = ints2d.reshape(-1)[: nbo * BLOCK_INTS]
     # ceil(31*n/32) written overflow-free as n - n//32: 31*n_chunks
     # wraps int32 past n_chunks = 69,273,666 (~268 MB of bitmap; the
@@ -381,8 +445,12 @@ def decode(
     return ints, n_ints
 
 
-def _run_decode(rbase, meta, words_t, rbt, nbo_p):
+def _run_decode(rbase, meta, words_t, rbt, nbo_p, adaptive=False):
     """Launch _decode_body over nbo_p output blocks -> (nbo_p, 992)."""
+    from functools import partial as _partial
+
+    from .encode_kernel import _resolve_adaptive
+
     B = TILE_BLOCKS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -410,7 +478,7 @@ def _run_decode(rbase, meta, words_t, rbt, nbo_p):
         ],
     )
     return pl.pallas_call(
-        _decode_body,
+        _partial(_decode_body, adaptive=_resolve_adaptive(adaptive)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nbo_p, BLOCK_INTS), _U)],
         compiler_params=pltpu.CompilerParams(
@@ -428,7 +496,8 @@ def _run_decode(rbase, meta, words_t, rbt, nbo_p):
 
 
 def decode_batch(
-    words2d: jnp.ndarray, ms: jnp.ndarray, col_chunk_capacity: int
+    words2d: jnp.ndarray, ms: jnp.ndarray, col_chunk_capacity: int,
+    adaptive: bool = False,
 ) -> jnp.ndarray:
     """Flattened batched-column decode: C equal-capacity streams in ONE
     kernel launch (the inverse of encode_padded_batch; the reference
@@ -459,13 +528,13 @@ def decode_batch(
     every step."""
     C, Mcap = words2d.shape
     return decode_rows_batch(
-        words2d.reshape(C * Mcap), C, ms, col_chunk_capacity
+        words2d.reshape(C * Mcap), C, ms, col_chunk_capacity, adaptive
     )
 
 
 def decode_rows_batch(
     words_flat: jnp.ndarray, C: int, ms: jnp.ndarray,
-    col_chunk_capacity: int,
+    col_chunk_capacity: int, adaptive: bool = False,
 ) -> jnp.ndarray:
     """decode_batch over the FLAT words layout: (C*Mcap,) uint32 with
     column c's stream at words_flat[c*Mcap:][:ms[c]]. The native entry
@@ -535,5 +604,5 @@ def decode_rows_batch(
             _I(cap - 1),
         ]
     )
-    ints2d = _run_decode(rbase, meta, words_t, rbt, nbo_t)
+    ints2d = _run_decode(rbase, meta, words_t, rbt, nbo_t, adaptive)
     return ints2d.reshape(-1)

@@ -86,6 +86,24 @@ def _interpret() -> bool:
 WIDE_SCANS = _os.environ.get("WAH_WIDE_SCANS", "0") == "1"
 # MXU prefix sums: measured slower (see decode_kernel.MXU_SCANS)
 MXU_SCANS = _os.environ.get("WAH_MXU_SCANS", "0") == "1"
+# Data-adaptive pass skipping (static kernel variant, selected on the
+# host): per-tile scalar bounds gate the log-shift pass families with
+# in-kernel lax.cond (Mosaic scf.if), so tiles whose routing
+# displacement / stream phase doesn't reach a pass's stride skip it.
+# An incompressible tile (every chunk its own run) collapses to a
+# single select and a phase-0 stitch. Measured v5e protocol sweep,
+# 130 MB: density 2^-1 encode 24.3 -> 39.3 GB/s — but at 2^-4 the
+# TAKEN cond regions cost more than the skipped passes save (24.3 ->
+# 21.6), so `adaptive` is a STATIC parameter chosen host-side from a
+# sample of the raw data (WahCodec._adaptive_hint, the same pattern as
+# the stitch hint), not an always-on in-kernel branch. Both variants
+# are bit-exact for any input. WAH_ADAPTIVE=0/1 force-overrides for
+# A/B timing.
+def _resolve_adaptive(flag: bool) -> bool:
+    env = _os.environ.get("WAH_ADAPTIVE", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return bool(flag)
 
 
 def _cumsum(x, nbits: int, col):
@@ -126,7 +144,8 @@ _REPART_MASKS = _repart_masks()
 # block encoder
 # ---------------------------------------------------------------------------
 
-def _encode_body(nv_ref, masks_ref, tri_ref, ints_ref, staging_ref, counts_ref):
+def _encode_body(nv_ref, masks_ref, tri_ref, ints_ref, staging_ref,
+                 counts_ref, *, adaptive: bool):
     B, _ = staging_ref.shape
     pid = pl.program_id(0)
     col = lane_iota((B, L))
@@ -172,52 +191,105 @@ def _encode_body(nv_ref, masks_ref, tri_ref, ints_ref, staging_ref, counts_ref):
     # into two block-wide scans) --------------------------------------
     prev_t = shift_right(t, 1, _I(-1), col)
     start = v & ((t != prev_t) | (t == _I(2)))
-    if MXU_SCANS:
-        incl = cumsum_lanes_mxu(start.astype(_I), tri_ref[...])
+
+    def _slow(_):
+        if MXU_SCANS:
+            incl = cumsum_lanes_mxu(start.astype(_I), tri_ref[...])
+        else:
+            incl = _cumsum(start.astype(_I), 10, col)
+        widx = incl - 1
+        cnt_col = incl[:, L - 1 : L]
+
+        nv_next = shift_left(v, 1, False, col)
+        end = v & (shift_left(start, 1, True, col) | ~nv_next)
+
+        # --- emit words (reference: kernels.cu:237-259) ----------------
+        # Fill words carry only their type header here; the run length is
+        # recovered AFTER compaction as the adjacent difference of run end
+        # columns (runs tile the block, so run w starts where run w-1
+        # ended). This replaces a second 10-step scan (cummax of start
+        # columns) with one roll + subtract on the compacted lanes.
+        value = jnp.where(
+            t == _I(2),
+            chunk,
+            jnp.where(t == _I(1), _U(BIT3130), _U(BIT31)),
+        )
+
+        # --- in-VMEM compaction to a dense prefix (replaces moveData) --
+        # Monotone left-routing without live-mask bookkeeping: dead lanes
+        # get d = 0 (stationary) and are either overwritten by an arriving
+        # word (every lane < count receives exactly its word — monotone
+        # routing admits no overtaking) or masked out by the count below.
+        # Raw rotations for the data moves: wrapped lanes are never
+        # selected (the source mask is edge-masked). The displacement
+        # channel's high bits carry the run's end column for free (the
+        # step masks test only bits 0..9, and d rides along unmodified).
+        d = jnp.where(end, (col - widx) | (col << 10), col << 10)
+        vals = value
+
+        def _move(k):
+            kk = 1 << k
+
+            def f(args):
+                vals, d = args
+                src = shift_left(d & kk, kk, _I(0), col) != 0
+                return (
+                    jnp.where(
+                        src, pltpu.roll(vals, shift=L - kk, axis=1), vals
+                    ),
+                    jnp.where(src, pltpu.roll(d, shift=L - kk, axis=1), d),
+                )
+
+            return f
+
+        def _route(n: int):
+            # n passes route any displacement < 2^n (LSB->MSB monotone)
+            def f(args):
+                vals, d = args
+                for k in range(n):
+                    vals, d = _move(k)((vals, d))
+                return vals, d
+
+            return f
+
+        if adaptive:
+            # one cond over whole variants, not one per pass (decode
+            # measured ~0.2-0.35 ms per taken scf region): tiles whose
+            # max displacement is small — any data with ratio near 1 —
+            # take the 6-pass variant (non-end lanes have zero low bits)
+            dmax = jnp.max(d & 1023)
+            vals, d = jax.lax.cond(
+                dmax < 64, _route(6), _route(10), (vals, d)
+            )
+        else:
+            vals, d = _route(10)((vals, d))
+        endcol = d >> 10
+        run_len = (endcol - shift_right(endcol, 1, _I(-1), col)).astype(_U)
+        vals = jnp.where((vals & _U(BIT31)) != 0, vals | run_len, vals)
+        return vals, cnt_col
+
+    def _fast(_):
+        # every valid lane starts its own run and the tile is fully
+        # valid: word w IS chunk w (scan = identity, compaction = no-op,
+        # all run lengths 1) — the incompressible-data fast path; a
+        # density-0.5 tile is all-literal with prob ~1-2^-21
+        value = jnp.where(
+            t == _I(2),
+            chunk,
+            jnp.where(t == _I(1), _U(BIT3130 | 1), _U(BIT31 | 1)),
+        )
+        return value, jnp.full((B, 1), L, _I)
+
+    if adaptive:
+        vals, cnt_col = jax.lax.cond(jnp.all(start), _fast, _slow, None)
     else:
-        incl = _cumsum(start.astype(_I), 10, col)
-    widx = incl - 1
-    counts_ref[:] = incl[:, L - 1 : L]
-
-    nv_next = shift_left(v, 1, False, col)
-    end = v & (shift_left(start, 1, True, col) | ~nv_next)
-
-    # --- emit words (reference: kernels.cu:237-259) -------------------
-    # Fill words carry only their type header here; the run length is
-    # recovered AFTER compaction as the adjacent difference of run end
-    # columns (runs tile the block, so run w starts where run w-1
-    # ended). This replaces a second 10-step scan (cummax of start
-    # columns) with one roll + subtract on the compacted lanes.
-    value = jnp.where(
-        t == _I(2),
-        chunk,
-        jnp.where(t == _I(1), _U(BIT3130), _U(BIT31)),
-    )
-
-    # --- in-VMEM compaction to a dense prefix (replaces moveData) -----
-    # Monotone left-routing without live-mask bookkeeping: dead lanes
-    # get d = 0 (stationary) and are either overwritten by an arriving
-    # word (every lane < count receives exactly its word — monotone
-    # routing admits no overtaking) or masked out by the count below.
-    # Raw rotations for the data moves: wrapped lanes are never selected
-    # (the source mask is edge-masked). The displacement channel's high
-    # bits carry the run's end column for free (the step masks test only
-    # bits 0..9, and d rides along unmodified).
-    d = jnp.where(end, (col - widx) | (col << 10), col << 10)
-    vals = value
-    for k in range(10):
-        kk = 1 << k
-        src = shift_left(d & kk, kk, _I(0), col) != 0
-        vals = jnp.where(src, pltpu.roll(vals, shift=L - kk, axis=1), vals)
-        d = jnp.where(src, pltpu.roll(d, shift=L - kk, axis=1), d)
-    endcol = d >> 10
-    run_len = (endcol - shift_right(endcol, 1, _I(-1), col)).astype(_U)
-    vals = jnp.where((vals & _U(BIT31)) != 0, vals | run_len, vals)
-    staging_ref[:] = jnp.where(col < incl[:, L - 1 : L], vals, zero_u)
+        vals, cnt_col = _slow(None)
+    counts_ref[:] = cnt_col
+    staging_ref[:] = jnp.where(col < cnt_col, vals, zero_u)
 
 
 def encode_tiles(
-    ints2d: jnp.ndarray, nv: jnp.ndarray
+    ints2d: jnp.ndarray, nv: jnp.ndarray, adaptive: bool = False
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(nb, 992) uint32 + (2,) [valid-chunk count, global chunk base]
     (or (3,) with a trailing position mask — see _encode_body) ->
@@ -251,8 +323,10 @@ def encode_tiles(
             pl.BlockSpec((B, 1), lambda i, nv: (i, 0), memory_space=pltpu.VMEM),
         ],
     )
+    from functools import partial as _partial
+
     return pl.pallas_call(
-        _encode_body,
+        _partial(_encode_body, adaptive=_resolve_adaptive(adaptive)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, L), _U),
@@ -274,16 +348,30 @@ def encode_tiles(
 # streaming stitch
 # ---------------------------------------------------------------------------
 
-def _rotate_right_rows(x, s, nbits: int):
-    """Rotate row i of x right by s[i] lanes (s: (rows, 1) int32)."""
+def _rotate_right_rows(x, s, nbits: int, adaptive: bool = False):
+    """Rotate row i of x right by s[i] lanes (s: (rows, 1) int32).
+
+    Adaptive mode gates each pass on whether ANY row's shift has that
+    bit set: an incompressible stream has counts == 1024 per block, so
+    every phase is 0 and the whole rotation vanishes; when phases DO
+    vary every pass is taken and the conds only cost, which is why
+    adaptive is a host-selected static variant."""
     for k in range(nbits):
         bit = ((s >> k) & 1) != 0
-        x = jnp.where(bit, pltpu.roll(x, shift=1 << k, axis=1), x)
+
+        def _rot(xx, bit=bit, k=k):
+            return jnp.where(bit, pltpu.roll(xx, shift=1 << k, axis=1), xx)
+
+        if adaptive:
+            x = jax.lax.cond(jnp.any(bit), _rot, lambda xx: xx, x)
+        else:
+            x = _rot(x)
     return x
 
 
 def _stitch_body(
-    ft_ref, meta_ref, staging_ref, offcol_ref, out_ref, pend, fb, sems
+    ft_ref, meta_ref, staging_ref, offcol_ref, out_ref, pend, fb, sems,
+    *, adaptive: bool,
 ):
     """Streaming accumulator (see module docstring).
 
@@ -311,7 +399,7 @@ def _stitch_body(
     contrib = jnp.concatenate(
         [staging_ref[:], jnp.zeros((B, L), _U)], axis=1
     )
-    contrib = _rotate_right_rows(contrib, s, 10)
+    contrib = _rotate_right_rows(contrib, s, 10, adaptive)
 
     def flush_wait(f):
         # reconstruct the descriptor of flush f to wait on its semaphore
@@ -370,7 +458,9 @@ def _stitch_body(
             flush_wait(fz - 1)
 
 
-def stitch_tiles(staging: jnp.ndarray, offsets_ext: jnp.ndarray) -> jnp.ndarray:
+def stitch_tiles(
+    staging: jnp.ndarray, offsets_ext: jnp.ndarray, adaptive: bool = False
+) -> jnp.ndarray:
     """Assemble the dense stream from (nb, 1024) staging + exclusive
     offsets (nb+1, last entry = total). Returns (nb*1024,) uint32;
     words beyond the total count are unspecified (see module docstring)."""
@@ -401,8 +491,10 @@ def stitch_tiles(staging: jnp.ndarray, offsets_ext: jnp.ndarray) -> jnp.ndarray:
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    from functools import partial as _partial
+
     out = pl.pallas_call(
-        _stitch_body,
+        _partial(_stitch_body, adaptive=_resolve_adaptive(adaptive)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((T, 1, L), _U)],
         compiler_params=pltpu.CompilerParams(
@@ -660,7 +752,8 @@ def encode_padded_fused(
 
 
 def encode_padded(
-    ints: jnp.ndarray, n_valid_chunks, chunk_base=0, stitch: str = "auto"
+    ints: jnp.ndarray, n_valid_chunks, chunk_base=0, stitch: str = "auto",
+    adaptive: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel equivalent of ops.encode.encode_padded: compress a
     block-aligned (nb*992,) uint32 bitmap. Returns (words (nb*1024,),
@@ -684,7 +777,7 @@ def encode_padded(
             [ints2d, jnp.zeros((nbp - nb, BLOCK_INTS), _U)], axis=0
         )
     nv = _clamped_nv(n_valid_chunks, chunk_base, nb)
-    staging, counts = encode_tiles(ints2d, nv)
+    staging, counts = encode_tiles(ints2d, nv, adaptive)
     counts = counts[:, 0]
     offsets_ext = jnp.concatenate(
         [jnp.zeros((1,), _I), jnp.cumsum(counts, dtype=_I)]
@@ -697,9 +790,9 @@ def encode_padded(
     from .stitch2 import stitch_tiles_v2
 
     if stitch == "v1":
-        words = stitch_tiles(staging, offsets_ext)
+        words = stitch_tiles(staging, offsets_ext, adaptive)
     elif stitch == "v3":
-        words = stitch_tiles_v2(staging, offsets_ext)
+        words = stitch_tiles_v2(staging, offsets_ext, adaptive=adaptive)
     else:
         assert stitch == "auto", stitch
         nbp2 = staging.shape[0]
@@ -713,7 +806,8 @@ def encode_padded(
 
 
 def encode_padded_batch(
-    cols: jnp.ndarray, n_valid_chunks, group_rows: int = 1 << 19
+    cols: jnp.ndarray, n_valid_chunks, group_rows: int = 1 << 19,
+    adaptive: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched-column encode: C equal-length columns in ONE flattened
     kernel pipeline instead of C sequential dispatches (the reference's
@@ -750,12 +844,13 @@ def encode_padded_batch(
     assert width == nb * BLOCK_INTS, (C, width)
     return encode_rows_batch(
         cols.reshape(C * nb, BLOCK_INTS), C, n_valid_chunks,
-        group_rows=group_rows,
+        group_rows=group_rows, adaptive=adaptive,
     )
 
 
 def encode_rows_batch(
-    ints2d: jnp.ndarray, C: int, n_valid_chunks, group_rows: int = 1 << 19
+    ints2d: jnp.ndarray, C: int, n_valid_chunks, group_rows: int = 1 << 19,
+    adaptive: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched-column encode over a ROWS-layout input: (C*nb, 992)
     uint32 block rows, column-major in the leading axis (column c owns
@@ -789,13 +884,15 @@ def encode_rows_batch(
         )
 
     def group_fn(rows_g):
-        staging, counts = encode_tiles(rows_g.astype(_U), nv3)
+        staging, counts = encode_tiles(rows_g.astype(_U), nv3, adaptive)
         rc = counts[:, 0]
         offsets, totals_g = rebase_exclusive_per_col(
             rc, G, nb, col_chunks
         )
         offsets_ext = jnp.concatenate([offsets, offsets[-1:] + rc[-1:]])
-        words = stitch_tiles_v2(staging, offsets_ext, counts=rc)
+        words = stitch_tiles_v2(
+            staging, offsets_ext, counts=rc, adaptive=adaptive
+        )
         return words, totals_g
 
     if Cp // G == 1:  # lax.map of one step still copies in/out; skip it

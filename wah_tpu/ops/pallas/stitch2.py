@@ -59,14 +59,14 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _rotate_right_rows(x, s, nbits: int):
-    for k in range(nbits):
-        bit = ((s >> k) & 1) != 0
-        x = jnp.where(bit, pltpu.roll(x, shift=1 << k, axis=1), x)
-    return x
+def _rotate_right_rows(x, s, nbits: int, adaptive: bool = False):
+    # gated per pass in adaptive mode — see encode_kernel._rotate_right_rows
+    from .encode_kernel import _rotate_right_rows as _rrr
+
+    return _rrr(x, s, nbits, adaptive)
 
 
-def _body(*refs, poison: bool, smem_meta: bool):
+def _body(*refs, poison: bool, smem_meta: bool, adaptive: bool):
     # meta packs p | t_loc<<10 | fresh<<20 | cross<<21 per row. Two
     # static layouts (chosen by stream size):
     #   smem_meta: meta is also scalar-prefetched whole into SMEM
@@ -91,7 +91,7 @@ def _body(*refs, poison: bool, smem_meta: bool):
     p_vec = meta_ref[:] & 0x3FF
 
     # rotate every row to phase, split into low/high tile parts
-    rot = _rotate_right_rows(staging_ref[:], p_vec, 10)
+    rot = _rotate_right_rows(staging_ref[:], p_vec, 10, adaptive)
     low = jnp.where(col >= p_vec, rot, zero_u)
     high = jnp.where(col < hbcol_ref[:], rot, zero_u)
 
@@ -127,7 +127,7 @@ def _body(*refs, poison: bool, smem_meta: bool):
         buf[pl.ds(0, 1)] = carry
 
 
-def _body_v3(*refs, poison: bool, smem_meta: bool):
+def _body_v3(*refs, poison: bool, smem_meta: bool, adaptive: bool):
     """v3 = v2 with the accumulator in (tiles, 8, 128) vreg layout.
 
     A 1024-word output tile stored as (1, 1024) pads to 8 sublanes in
@@ -151,7 +151,7 @@ def _body_v3(*refs, poison: bool, smem_meta: bool):
     zero_u = jnp.zeros((B, L), _U)
 
     p_vec = meta_ref[:] & 0x3FF
-    rot = _rotate_right_rows(staging_ref[:], p_vec, 10)
+    rot = _rotate_right_rows(staging_ref[:], p_vec, 10, adaptive)
     low = jnp.where(col >= p_vec, rot, zero_u)
     high = jnp.where(col < hbcol_ref[:], rot, zero_u)
     w3 = jnp.concatenate([low, high], axis=1).reshape(B, 16, 128)
@@ -193,6 +193,7 @@ def stitch_tiles_v2(
     poison: bool = False,
     layout3d: bool = True,
     counts: jnp.ndarray | None = None,
+    adaptive: bool = False,
 ) -> jnp.ndarray:
     """Assemble the dense stream from (nb, 1024) staging rows + exclusive
     word offsets (nb+1,). Returns (nb*1024,) uint32; words beyond
@@ -259,9 +260,11 @@ def stitch_tiles_v2(
 
     meta = meta.reshape(nb, 1)
     args = (meta[:, 0], tb) if smem_meta else (tb,)
+    from .encode_kernel import _resolve_adaptive
+
     out = pl.pallas_call(
         partial(_body_v3 if layout3d else _body, poison=poison,
-                smem_meta=smem_meta),
+                smem_meta=smem_meta, adaptive=_resolve_adaptive(adaptive)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(out_shape3, _U)],
         compiler_params=pltpu.CompilerParams(
