@@ -36,6 +36,10 @@ def main() -> None:
                          "device rows-reshape)")
     ap.add_argument("--no-decode", action="store_true")
     args = ap.parse_args()
+    # static adaptive-variant choice, as WahCodec's host hints would
+    # make it: the generated data is fill-free iff density is 2^-1
+    # (P(zero 32-bit word) = 2^-32; see api._adaptive_hint)
+    adaptive = args.log2density <= 1
 
     import jax
     import jax.numpy as jnp
@@ -80,7 +84,9 @@ def main() -> None:
     }
 
     def enc_step(p, r, nvv):
-        words, totals = encode_kernel.encode_rows_batch(r, C, nvv - p)
+        words, totals = encode_kernel.encode_rows_batch(
+            r, C, nvv - p, adaptive=adaptive
+        )
         return jnp.sum(totals, dtype=jnp.int32) + words[1].astype(
             jnp.int32
         )
@@ -112,7 +118,9 @@ def main() -> None:
         # build the compressed batch once; the stitch's unspecified
         # tails are legal decode_rows_batch input (masked in-kernel-view)
         enc = jax.jit(
-            lambda r, nvv: encode_kernel.encode_rows_batch(r, C, nvv)
+            lambda r, nvv: encode_kernel.encode_rows_batch(
+                r, C, nvv, adaptive=adaptive
+            )
         )
         words_flat, totals = enc(rows, nv)
         jax.block_until_ready((words_flat, totals))
@@ -121,7 +129,7 @@ def main() -> None:
 
         def dec_step(p, wf, t):
             flat = decode_kernel.decode_rows_batch(
-                wf, C, t - p, col_chunk_capacity=cap
+                wf, C, t - p, col_chunk_capacity=cap, adaptive=adaptive
             )
             return flat[1].astype(jnp.int32) + flat[-1].astype(jnp.int32)
 

@@ -753,7 +753,7 @@ def encode_padded_fused(
 
 def encode_padded(
     ints: jnp.ndarray, n_valid_chunks, chunk_base=0, stitch: str = "auto",
-    adaptive: bool = False,
+    adaptive: bool = False, adaptive_stitch: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel equivalent of ops.encode.encode_padded: compress a
     block-aligned (nb*992,) uint32 bitmap. Returns (words (nb*1024,),
@@ -763,7 +763,11 @@ def encode_padded(
     stitch: "v1" (flush-count-proportional accumulator, fastest when
     the stream compresses), "v3" (constant-cost vreg RMW stitch,
     fastest for incompressible data), or "auto" (in-graph lax.cond on
-    the compressed ratio). Callers that can estimate density on the
+    the compressed ratio). adaptive selects the data-adaptive tile
+    encoder (see _encode_body); adaptive_stitch the gated stitch
+    rotation (defaults to `adaptive` — split so compressible data can
+    take the tiered tile compaction, whose conds pay off, without the
+    per-pass rotation conds, which only pay when phases are all 0). Callers that can estimate density on the
     host (api.WahCodec samples the raw input) should pass a static
     choice: the cond variant costs several ms extra per call on TPU
     when the v1 branch is taken (measured benchmarks/micro.py,
@@ -776,6 +780,8 @@ def encode_padded(
         ints2d = jnp.concatenate(
             [ints2d, jnp.zeros((nbp - nb, BLOCK_INTS), _U)], axis=0
         )
+    if adaptive_stitch is None:
+        adaptive_stitch = adaptive
     nv = _clamped_nv(n_valid_chunks, chunk_base, nb)
     staging, counts = encode_tiles(ints2d, nv, adaptive)
     counts = counts[:, 0]
@@ -790,9 +796,11 @@ def encode_padded(
     from .stitch2 import stitch_tiles_v2
 
     if stitch == "v1":
-        words = stitch_tiles(staging, offsets_ext, adaptive)
+        words = stitch_tiles(staging, offsets_ext, adaptive_stitch)
     elif stitch == "v3":
-        words = stitch_tiles_v2(staging, offsets_ext, adaptive=adaptive)
+        words = stitch_tiles_v2(
+            staging, offsets_ext, adaptive=adaptive_stitch
+        )
     else:
         assert stitch == "auto", stitch
         nbp2 = staging.shape[0]
