@@ -194,3 +194,41 @@ def test_sharded_codec_sparse_hint_roundtrip(mesh):
     codec = ShardedCodec(mesh)
     stream = codec.compress(data)
     np.testing.assert_array_equal(stream, golden.encode(data))
+
+
+def test_sharded_pallas_adaptive_roundtrip(mesh):
+    """Adaptive kernel variants under a real 8-device shard_map
+    (interpreted Pallas): incompressible data takes the all-start fast
+    path per shard; a mixed block exercises the slow tier inside the
+    adaptive variant. Stream must stay golden and roundtrip."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wah_tpu.parallel.dist import decode_sharded as dsh
+
+    D, nb = 8, 16
+    n = nb * BLOCK_INTS
+    rng = np.random.default_rng(7)
+    data = rng.integers(1, (1 << 32) - 1, n, dtype=np.uint64).astype(
+        np.uint32
+    )
+    data[5 * BLOCK_INTS : 5 * BLOCK_INTS + 200] = 0  # one mixed block
+    nv = chunk_count(n)
+    ref = golden.encode(data)
+
+    dev = jax.device_put(data, NamedSharding(mesh, P("blocks")))
+    words, totals = encode_sharded(
+        mesh, dev, np.int32(nv), use_pallas=True, adaptive=True
+    )
+    np.testing.assert_array_equal(gather_stream(words, totals), ref)
+
+    cap = nb * BLOCK_CHUNKS
+    M = 1 << (len(ref) - 1).bit_length()
+    padded = np.zeros(max(M, 1024), np.uint32)
+    padded[: len(ref)] = ref
+    ints, n_chunks = dsh(
+        mesh, jax.device_put(padded), np.int32(len(ref)), cap,
+        use_pallas=True, adaptive=True,
+    )
+    assert int(np.asarray(n_chunks)[0]) == nv
+    out = gather_bitmap(ints, (31 * nv + 31) // 32)
+    np.testing.assert_array_equal(out[:n], data)

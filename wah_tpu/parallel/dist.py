@@ -73,6 +73,7 @@ def _encode_local(
     nv: jnp.ndarray,
     stitch_variant: str = "v3",
     use_pallas: bool | None = None,
+    adaptive: bool = False,
 ):
     """Per-shard encode: (nb_l*992,) ints -> (nb_l*1024,) words, (1,) total.
 
@@ -93,7 +94,8 @@ def _encode_local(
         from ..ops.pallas import encode_kernel
 
         words_l, total_l = encode_kernel.encode_padded(
-            ints_l.astype(jnp.uint32), nv, chunk_base, stitch=stitch_variant
+            ints_l.astype(jnp.uint32), nv, chunk_base,
+            stitch=stitch_variant, adaptive=adaptive,
         )
         return words_l, total_l[None]
     chunks = bits.repartition_chunks(ints_l).reshape(nb_l, BLOCK_CHUNKS)
@@ -108,6 +110,7 @@ def encode_sharded(
     n_valid_chunks,
     stitch: str = "v3",
     use_pallas: bool | None = None,
+    adaptive: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed encode over `mesh`.
 
@@ -119,12 +122,13 @@ def encode_sharded(
     single-chip stream.
     """
     assert ints.shape[0] % (BLOCK_INTS * mesh.size) == 0, ints.shape
-    f = _encode_shardmap(mesh, stitch, use_pallas)
+    f = _encode_shardmap(mesh, stitch, use_pallas, adaptive)
     return f(ints.astype(_U), jnp.asarray(n_valid_chunks, dtype=_I))
 
 
 @lru_cache(maxsize=64)
-def _encode_shardmap(mesh: Mesh, stitch: str, use_pallas: bool | None):
+def _encode_shardmap(mesh: Mesh, stitch: str, use_pallas: bool | None,
+                     adaptive: bool = False):
     """Cached jitted shard_map: rebuilding the wrapped callable per call
     defeats the jit cache (a fresh partial() is a fresh cache key), so a
     segment loop like benchmarks/config4_dryrun recompiled every
@@ -133,7 +137,8 @@ def _encode_shardmap(mesh: Mesh, stitch: str, use_pallas: bool | None):
     # out_shapes don't carry the varying-axis metadata the checker needs
     return jax.jit(jax.shard_map(
         partial(
-            _encode_local, stitch_variant=stitch, use_pallas=use_pallas
+            _encode_local, stitch_variant=stitch, use_pallas=use_pallas,
+            adaptive=adaptive,
         ),
         mesh=mesh,
         in_specs=(P(AXIS), P()),
@@ -214,6 +219,7 @@ def _decode_local(
     m: jnp.ndarray,
     chunks_l: int,
     use_pallas: bool | None = None,
+    adaptive: bool = False,
 ):
     """Per-shard decode of chunk span [shard*chunks_l, (shard+1)*chunks_l).
 
@@ -231,7 +237,9 @@ def _decode_local(
 
         from ..ops.decode import word_counts
 
-        ints_l, _ = decode_kernel.decode(words, m, chunks_l, base)
+        ints_l, _ = decode_kernel.decode(
+            words, m, chunks_l, base, adaptive=adaptive
+        )
         n_chunks = jnp.sum(word_counts(words, m), dtype=_I)
         return ints_l, n_chunks[None]
     # +32 capacity: one extra warp of chunks so chunk[chunks_l] (the
@@ -247,6 +255,7 @@ def decode_sharded(
     m,
     chunk_capacity: int,
     use_pallas: bool | None = None,
+    adaptive: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed decode: replicated stream -> block-sharded bitmap.
 
@@ -258,15 +267,17 @@ def decode_sharded(
     D = mesh.size
     assert chunk_capacity % (32 * D) == 0, (chunk_capacity, D)
     chunks_l = chunk_capacity // D
-    f = _decode_shardmap(mesh, chunks_l, use_pallas)
+    f = _decode_shardmap(mesh, chunks_l, use_pallas, adaptive)
     return f(words.astype(_U), jnp.asarray(m, dtype=_I))
 
 
 @lru_cache(maxsize=64)
-def _decode_shardmap(mesh: Mesh, chunks_l: int, use_pallas: bool | None):
+def _decode_shardmap(mesh: Mesh, chunks_l: int, use_pallas: bool | None,
+                     adaptive: bool = False):
     """Cached jitted shard_map (see _encode_shardmap)."""
     return jax.jit(jax.shard_map(
-        partial(_decode_local, chunks_l=chunks_l, use_pallas=use_pallas),
+        partial(_decode_local, chunks_l=chunks_l, use_pallas=use_pallas,
+                adaptive=adaptive),
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(AXIS), P(AXIS)),
@@ -312,7 +323,9 @@ class ShardedCodec:
         from ..api import WahCodec
 
         words, totals = encode_sharded(
-            self.mesh, dev, np.int32(nv), stitch=WahCodec._stitch_hint(data)
+            self.mesh, dev, np.int32(nv),
+            stitch=WahCodec._stitch_hint(data),
+            adaptive=WahCodec._adaptive_hint(data),
         )
         return gather_stream(words, totals)
 
@@ -339,12 +352,16 @@ class ShardedCodec:
         M = min(_next_pow2(max(m, 1024)), cap)
         padded = np.zeros(M, dtype=np.uint32)
         padded[:m] = words
-        fn = self._dec_cache.get((M, cap))
+        from ..api import WahCodec
+
+        dad = WahCodec._decode_adaptive_hint(words)
+        fn = self._dec_cache.get((M, cap, dad))
         if fn is None:
             fn = jax.jit(
-                partial(decode_sharded, self.mesh, chunk_capacity=cap)
+                partial(decode_sharded, self.mesh, chunk_capacity=cap,
+                        adaptive=dad)
             )
-            self._dec_cache[(M, cap)] = fn
+            self._dec_cache[(M, cap, dad)] = fn
         ints, n_chunks_dev = fn(jax.device_put(padded), m=np.int32(m))
         n_ints = (31 * int(np.asarray(n_chunks_dev)[0]) + 31) // 32
         out = gather_bitmap(ints, n_ints)
