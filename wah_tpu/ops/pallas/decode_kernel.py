@@ -389,32 +389,27 @@ def decode(
     words = words.astype(_U)
     m = jnp.asarray(m, dtype=_I)
 
-    # granule-granular host prescan: per-128-word-granule expanded sizes
-    # (one fused masked pass + a small cumsum) and ONE searchsorted
-    # giving each grid STEP its first covering granule. The per-BLOCK
-    # mapping — which as an XLA scatter-max + cummax + take cost
-    # ~2.3 ms at 130 MB, a quarter of decode time — happens inside the
-    # kernel from a DMA'd window of g_base (_decode_body).
+    # granule-granular prescan, now ONE fused Pallas pass
+    # (prescan_words): per-granule expanded sizes + masked/zero-padded
+    # word rows in a single read+write (the XLA form materialized the
+    # mask select, the count reduce and the padded concat separately —
+    # ~2.5x the traffic). The per-BLOCK mapping — which as an XLA
+    # scatter-max + cummax + take cost ~2.3 ms at 130 MB — happens
+    # inside the decode kernel from a DMA'd window of g_base.
     Mr = -(-M // L) * L
-    iw = jnp.arange(M, dtype=_I)
-    is_fill = (words & _U(BIT31)) != 0
-    counts = jnp.where(is_fill, (words & _U(LEN_MASK)).astype(_I), _I(1))
-    counts = jnp.where(iw < m, counts, _I(0))
-    cpad = jnp.concatenate([counts, jnp.zeros((Mr - M,), _I)])
-    g_sums = jnp.sum(cpad.reshape(-1, 128), axis=1, dtype=_I)
+    if Mr != M:  # unaligned callers pay the pad copy the old path paid
+        words = jnp.concatenate([words, jnp.zeros((Mr - M,), _U)])
+    rows_needed = Mr // 128 + (B + 4) * 8
+    vc = jnp.clip(
+        m - 128 * jnp.arange(rows_needed, dtype=_I), 0, 128
+    )
+    words_t, g_sums = prescan_words(words, vc, rows_needed)
     g_base = jnp.cumsum(g_sums, dtype=_I) - g_sums
     n_chunks = g_base[-1] + g_sums[-1]
 
     nbo = chunk_capacity // L
     nbo_p = -(-nbo // B) * B
     nsteps = nbo_p // B
-
-    # pad the stream so every bulk window [8*(g//8), +8*(B+2)) granules
-    # is in bounds, then view as (G, 128) granule rows (2-D: DMA starts
-    # are tile-aligned because the bulk start granule is 8-aligned)
-    words_t = jnp.concatenate(
-        [words, jnp.zeros((Mr - M + (B + 4) * L,), _U)]
-    ).reshape(-1, 128)
     base_i = jnp.asarray(chunk_base, dtype=_I)
     step_bases = base_i + jnp.arange(nsteps, dtype=_I) * (B * L)
     rbase = jnp.clip(
@@ -559,27 +554,21 @@ def decode_rows_batch(
     wf = words_flat.astype(_U)
     ms = jnp.asarray(ms, dtype=_I)
 
-    # per-column masked counts -> flat granule sums -> rebased g_base
-    # (elementwise + reduce: XLA fuses the (C, Mcap) view, no copy;
-    # granules never straddle columns: Mcap % 1024 == 0)
-    w2 = wf.reshape(C, Mcap)
-    iw = jnp.arange(Mcap, dtype=_I)
-    wvalid = iw[None, :] < ms[:, None]
-    w2 = jnp.where(wvalid, w2, _U(0))
-    is_fill = (w2 & _U(BIT31)) != 0
-    cnt = jnp.where(is_fill, (w2 & _U(LEN_MASK)).astype(_I), _I(1))
-    cnt = jnp.where(wvalid, cnt, _I(0))
+    # per-column masked counts + masked word rows in ONE fused Pallas
+    # pass (prescan_words; granules never straddle columns because
+    # Mcap % 1024 == 0), then flat granule sums -> rebased g_base
     gpc = Mcap // 128  # granules per column
-    g_sums = jnp.sum(cnt.reshape(C * gpc, 128), axis=1, dtype=_I)
+    # broadcast, not gather: a 4.4M-element jnp.take cost ~30 ms on TPU
+    rel = 128 * jnp.arange(gpc, dtype=_I)
+    vc = jnp.clip(ms[:, None] - rel[None, :], 0, 128).reshape(-1)
+    rows_needed = C * gpc + (B + 4) * 8
+    words_t, g_sums_full = prescan_words(wf, vc, rows_needed)
+    g_sums = g_sums_full[: C * gpc]
     g_base, col_totals = rebase_exclusive_per_col(g_sums, C, gpc, cap)
 
     nbo = cap // L  # blocks per column
     nbo_t = C * nbo
     nsteps = nbo_t // B
-
-    words_t = jnp.concatenate(
-        [w2.reshape(C * Mcap), jnp.zeros(((B + 4) * L,), _U)]
-    ).reshape(-1, 128)
     step_bases = jnp.arange(nsteps, dtype=_I) * (B * L)
     rbase = jnp.clip(
         jnp.searchsorted(g_base, step_bases, side="right").astype(_I)
@@ -606,3 +595,116 @@ def decode_rows_batch(
     )
     ints2d = _run_decode(rbase, meta, words_t, rbt, nbo_t, adaptive)
     return ints2d.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# fused word prescan
+# ---------------------------------------------------------------------------
+
+def _prescan_body(vc_ref, words_ref, out_ref, gsum_ref, *, dense: bool):
+    """One pass over the stream words: per-lane validity mask (lane <
+    row's valid count), masked word write-through, and per-granule
+    expanded-size sums. Replaces the XLA prescan's three materialized
+    passes (mask select, count reduce, padded concat) — measured
+    20.4 ms of a 106.9 ms 2.1 GB batch decode (2.5x the theoretical
+    traffic; XLA does not fuse the select into both consumers).
+
+    dense: the per-row metadata rides as (R//128, 128) int32 blocks —
+    a (R, 1) VMEM block pads its lane axis to 128, which at R = 4096
+    is 2 MB of VMEM per metadata buffer and blew the 16 MB scoped
+    limit. The words regroup (R, 128) <-> (R//128, 128, 128) so the
+    compare broadcasts against the dense metadata; the regroup only
+    moves a sublane index into an untiled leading dim (identical
+    linear vreg order — the direct (R//128,128) -> (R,1) tpu.reshape
+    is an unsupported shape cast)."""
+    w = words_ref[:]
+    R = w.shape[0]
+    if dense:
+        g = R // 128
+        w3 = w.reshape(g, 128, 128)
+        valid = (
+            jax.lax.broadcasted_iota(_I, (g, 128, 128), 2)
+            < vc_ref[:][:, :, None]
+        )
+        wm3 = jnp.where(valid, w3, _U(0))
+        isf = (wm3 & _U(BIT31)) != 0
+        cnt = jnp.where(valid, jnp.where(
+            isf, (wm3 & _U(LEN_MASK)).astype(_I), _I(1)), _I(0))
+        out_ref[:] = wm3.reshape(R, 128)
+        gsum_ref[:] = jnp.sum(cnt, axis=2)
+        return
+    valid = lane_iota(w.shape) < vc_ref[:]
+    wm = jnp.where(valid, w, _U(0))
+    isf = (wm & _U(BIT31)) != 0
+    cnt = jnp.where(valid, jnp.where(
+        isf, (wm & _U(LEN_MASK)).astype(_I), _I(1)), _I(0))
+    out_ref[:] = wm
+    gsum_ref[:] = jnp.sum(cnt, axis=1, keepdims=True)
+
+
+def prescan_words(words: jnp.ndarray, vc: jnp.ndarray, out_rows: int):
+    """(M,) uint32 words + (out_rows,) per-granule valid counts ->
+    (masked+zero-padded words_t (out_rows, 128), g_sums (out_rows,)).
+
+    M % 1024 == 0; out_rows >= M//128 is the PADDED granule-row count
+    (rows beyond the stream carry vc == 0 and come out zeroed, giving
+    the decode kernel its benign zero-literal tail without a concat).
+    vc[r] = clip(valid_words_after_row_start, 0, 128) — per column for
+    the batch layout, clip(m - 128*r, 0, 128) for a single stream."""
+    from functools import partial as _partial
+
+    M = words.shape[0]
+    assert M % 1024 == 0, M
+    rows_in = M // 128
+    # rows/step: largest pow2 divisor of rows_in up to 4096 (2 MB in +
+    # 2 MB out per step; small steps are per-step-overhead-bound —
+    # 1024-row steps measured 19.2 ms for 2.2 GB, ~3.5x the traffic
+    # bound, with 4228 steps of unoverlapped DMA latency)
+    R = 8
+    while R < 4096 and rows_in % (2 * R) == 0:
+        R *= 2
+    assert rows_in % R == 0, (rows_in, R)
+    # dense meta needs a (R//128, 128) block with leading dim >= 8
+    # (Mosaic block divisibility); smaller steps keep the padded (R, 1)
+    # form — their streams are tiny and VMEM is not a concern there
+    dense = R >= 1024
+    rows_out = -(-out_rows // R) * R
+    if vc.shape[0] != rows_out:
+        vc = jnp.concatenate(
+            [vc.astype(_I), jnp.zeros((rows_out - vc.shape[0],), _I)]
+        )
+    in_tiles = rows_in // R
+    mshape = (R // 128, 128) if dense else (R, 1)
+    mrows = rows_out // 128 if dense else rows_out
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(rows_out // R,),
+        in_specs=[
+            pl.BlockSpec(mshape, lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (R, 128),
+                lambda i, it=in_tiles: (jnp.minimum(i, it - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(mshape, lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    words_t, gsum = pl.pallas_call(
+        _partial(_prescan_body, dense=dense),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_out, 128), _U),
+            jax.ShapeDtypeStruct((mrows, mshape[1]), _I),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_interpret(),
+    )(vc.astype(_I).reshape(mrows, mshape[1]), words.reshape(rows_in, 128))
+    return words_t, gsum.reshape(rows_out)
