@@ -154,7 +154,7 @@ def completed_configs(path: str) -> set[tuple[int, float]]:
         return done
     with open(path) as f:
         for row in csv.reader(f):
-            if not row or row[0].strip().startswith("Original"):
+            if not row or row[0].lstrip().startswith(("#", "Original")):
                 continue
             try:
                 done.add((int(row[0]), float(row[3])))

@@ -23,7 +23,7 @@ def load_rows(path: str) -> list[dict]:
     rows = []
     with open(path) as f:
         for row in csv.reader(f):
-            if not row or row[0].strip().startswith("Original"):
+            if not row or row[0].lstrip().startswith(("#", "Original")):
                 continue
             rows.append(
                 {

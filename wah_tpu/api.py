@@ -154,14 +154,18 @@ class WahCodec:
         """Static choice of the data-adaptive encode kernel variant
         (see encode_kernel._resolve_adaptive) from the same strided
         host sample as _stitch_hint: the adaptive variant's in-kernel
-        fast paths fire only when whole tiles are literal runs, i.e.
-        when essentially NO raw word is 0x0 or all-ones (a 31-bit chunk
-        is a fill only if a full 32-bit word neighborhood is constant).
-        Measured v5e protocol (130 MB): density 2^-1 encode 24.3 ->
-        39.3 GB/s with the adaptive variant, but 24.3 -> 21.6 at 2^-4
-        (taken cond regions cost); choose it only when the sample shows
-        ~no fillable words. Both variants are bit-exact on any data —
-        a wrong hint only costs speed."""
+        fast paths fire only when whole tiles are literal runs. The
+        word-level test (no sampled 32-bit word is 0x0 or all-ones) is
+        a cheap APPROXIMATION of chunk fillability, not an equivalence:
+        after the 32->31 repartition a chunk can be all-zero/all-one
+        without any 32-bit word being constant (fills straddling word
+        boundaries), so fill-bearing data can still pick the adaptive
+        variant and take its slower taken-cond path. Speed-only: the
+        kernel tiers re-check per tile, so both variants are bit-exact
+        on any data. Measured v5e protocol (130 MB): density 2^-1
+        encode 24.3 -> 39.3 GB/s with the adaptive variant, but 24.3 ->
+        21.6 at 2^-4 (taken cond regions cost); choose it only when the
+        sample shows ~no fillable words."""
         step = max(1, data.shape[0] >> 16)
         sample = data[::step]
         if sample.shape[0] == 0:

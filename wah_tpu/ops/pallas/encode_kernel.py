@@ -98,11 +98,15 @@ MXU_SCANS = _os.environ.get("WAH_MXU_SCANS", "0") == "1"
 # sample of the raw data (WahCodec._adaptive_hint, the same pattern as
 # the stitch hint), not an always-on in-kernel branch. Both variants
 # are bit-exact for any input. WAH_ADAPTIVE=0/1 force-overrides for
-# A/B timing.
+# A/B timing. The override is resolved ONCE at import time: WahCodec's
+# jit caches key on the adaptive flag only, so a mid-process env flip
+# would silently return kernels compiled under the old override.
+_ADAPTIVE_ENV = _os.environ.get("WAH_ADAPTIVE", "")
+
+
 def _resolve_adaptive(flag: bool) -> bool:
-    env = _os.environ.get("WAH_ADAPTIVE", "")
-    if env in ("0", "1"):
-        return env == "1"
+    if _ADAPTIVE_ENV in ("0", "1"):
+        return _ADAPTIVE_ENV == "1"
     return bool(flag)
 
 

@@ -299,9 +299,6 @@ class ShardedCodec:
 
     def __init__(self, mesh: Mesh | None = None):
         self.mesh = mesh if mesh is not None else make_mesh()
-        self._enc = jax.jit(
-            partial(encode_sharded, self.mesh), static_argnums=()
-        )
         self._dec_cache: dict[int, object] = {}
 
     def compress(self, data: np.ndarray) -> np.ndarray:
