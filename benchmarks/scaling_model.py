@@ -84,25 +84,38 @@ def tpu_terms() -> None:
         # the loop-invariant update-slice copy can be hoisted — this
         # measures the mask+read passes; DESIGN.md adds the copy
         # analytically (2 HBM passes of the padded capacity).
-        s, tot = dist.stitch_global(mesh, w, t - p)
+        s, tot, _ = dist.stitch_global(mesh, w, t - p)
         return tot + jnp.sum(s.astype(jnp.int32), dtype=jnp.int32)
 
     t_stitch = amortized_seconds(stitch_step, words_j, totals_j, iters=5)
 
+    # payload per chip with the word_cap bound: exact totals give
+    # stitch_word_cap (ratio-proportional); estimate_word_cap is the
+    # no-sync sample bound actually usable inside a fused pipeline
     payloads = {}
     for i in (1, 4, 8):
         d = generate_random_data(n, 1 << i)
         s, _ = codec.compress(d)
+        cap_exact = dist.stitch_word_cap(
+            np.array([s.shape[0]])
+        )  # 1-shard totals = full stream
+        cap_est = dist.estimate_word_cap(d, nb)
         payloads[f"2^-{i}"] = {
             "compressed_bytes": int(s.nbytes),
-            "allgather_bytes_per_chip": int(nb * 1024 * 4),
+            "capacity_bytes": int(nb * 1024 * 4),
+            "allgather_bytes_per_chip_exact_cap": int(cap_exact * 4),
+            "allgather_bytes_per_chip_estimate_cap": int(cap_est * 4),
             "ratio": round(s.shape[0] / n, 4),
         }
 
     # C. plain fused decode vs the sharded span decode (same mesh)
     m = np.int32(stream.shape[0])
     cap = nb * BLOCK_CHUNKS
-    Mp = -(-int(m) // 1024) * 1024
+    # pow2 bucket = the API's own padding policy (api._next_pow2). A
+    # plain 1024-rounded M is 2.5x SLOWER (14.6 vs 5.9 ms measured at
+    # this config): the fused prescan's dense (R//128, 128) metadata
+    # regroup degrades when the word-row count R isn't 128-aligned.
+    Mp = 1 << (int(m) - 1).bit_length()
     wpad = np.zeros(Mp, np.uint32)
     wpad[: int(m)] = stream
     wdev = jax.device_put(wpad)
@@ -134,7 +147,7 @@ def tpu_terms() -> None:
     )
 
 
-def cpu_shape(max_d: int = 8) -> None:
+def cpu_shape(max_d: int = 8, every_n: int = 16) -> None:
     import jax
 
     jax.config.update("jax_num_cpu_devices", max_d)
@@ -163,7 +176,7 @@ def cpu_shape(max_d: int = 8) -> None:
         mesh = dist.make_mesh(jax.devices()[:D])
         for mode, nb in (("weak", nb_shard * D), ("strong", nb_strong)):
             n = nb * BLOCK_INTS
-            data = generate_random_data(n, 16)
+            data = generate_random_data(n, every_n)
             nv = np.int32(chunk_count(n))
             dev = jax.device_put(
                 data,
@@ -174,9 +187,16 @@ def cpu_shape(max_d: int = 8) -> None:
             enc = jax.jit(partial(dist.encode_sharded, mesh))
             words, totals = enc(dev, nv)
             t_enc = bench(enc, dev, nv)
-            st = jax.jit(partial(dist.stitch_global, mesh))
+            # bounded stitch: exact word_cap from the (tiny) totals —
+            # the pod-realistic configuration (payload ~ compressed size)
+            cap_w = dist.stitch_word_cap(totals)
+            st = jax.jit(partial(dist.stitch_global, mesh, word_cap=cap_w))
             t_st = bench(st, words, totals)
-            stream, total = st(words, totals)
+            stream, total, ovf = st(words, totals)
+            assert not bool(np.asarray(ovf))
+            # unbounded variant for comparison (the round-4 behavior)
+            st_full = jax.jit(partial(dist.stitch_global, mesh))
+            t_st_full = bench(st_full, words, totals)
             cap = nb * BLOCK_CHUNKS
             dec = jax.jit(partial(dist.decode_sharded, mesh, chunk_capacity=cap))
             t_dec = bench(dec, stream, np.int32(int(total)))
@@ -184,17 +204,25 @@ def cpu_shape(max_d: int = 8) -> None:
                 "blocks": nb,
                 "encode_ms": round(t_enc * 1e3, 2),
                 "stitch_global_ms": round(t_st * 1e3, 2),
+                "stitch_global_fullcap_ms": round(t_st_full * 1e3, 2),
+                "stitch_word_cap": int(cap_w),
+                "stitch_capacity_l": int(words.shape[0] // D),
                 "decode_ms": round(t_dec * 1e3, 2),
             }
-    _merge("cpu_mesh_shape", results)
+    key = "cpu_mesh_shape" if every_n == 16 else f"cpu_mesh_shape_2^-{every_n.bit_length() - 1}"
+    _merge(key, results)
 
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--backend", default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--every-n", type=int, default=16,
+                   help="density 1/every_n for the CPU-mesh shape run "
+                        "(256 = the 2^-8 regime where the word_cap "
+                        "bound shrinks the payload ~4.5x)")
     args = p.parse_args(argv)
     if args.backend == "cpu":
-        cpu_shape()
+        cpu_shape(every_n=args.every_n)
     else:
         tpu_terms()
 

@@ -31,6 +31,7 @@ def main() -> None:
     from wah_tpu.parallel import (
         decode_sharded,
         encode_sharded,
+        estimate_word_cap,
         multihost,
         stitch_global,
     )
@@ -67,7 +68,11 @@ def main() -> None:
 
     nv = chunk_count(len(data))
     words, totals = encode_sharded(mesh, arr, nv)
-    stream, total = stitch_global(mesh, words, totals)
+    # bounded payload gather: the sample-based cap must hold for this
+    # mixed bitmap (DCN traffic proportional to compressed size)
+    cap_w = estimate_word_cap(data, nb // D)
+    stream, total, overflow = stitch_global(mesh, words, totals, cap_w)
+    assert not bool(jax.device_get(overflow)), "word_cap estimate overflowed"
 
     got = np.asarray(jax.device_get(stream))  # replicated on all hosts
     assert int(jax.device_get(total)) == len(ref), (int(total), len(ref))

@@ -108,7 +108,7 @@ def test_sharded_jit_full_pipeline(mesh):
     @jax.jit
     def step(x):
         words, totals = encode_sharded(mesh, x, nv)
-        stream, total = stitch_global(mesh, words, totals)
+        stream, total, _ = stitch_global(mesh, words, totals)
         ints, n_chunks = decode_sharded(mesh, stream, total, cap)
         return stream, total, ints, n_chunks
 
@@ -232,3 +232,56 @@ def test_sharded_pallas_adaptive_roundtrip(mesh):
     assert int(np.asarray(n_chunks)[0]) == nv
     out = gather_bitmap(ints, (31 * nv + 31) // 32)
     np.testing.assert_array_equal(out[:n], data)
+
+
+def test_stitch_global_bounded_payload(mesh):
+    """word_cap bounds the all_gather payload: the replicated stream
+    capacity shrinks to D*word_cap and stays bit-exact when every
+    shard's live words fit the bound."""
+    from wah_tpu.parallel import stitch_global, stitch_word_cap
+
+    data = random_bitmap(16 * BLOCK_INTS, density=1 / 256, seed=23)
+    ref = golden.encode(data)
+    dev = jax.device_put(data)
+    words, totals = encode_sharded(mesh, dev, np.int32(chunk_count(len(data))))
+    cap_w = stitch_word_cap(totals)
+    assert cap_w < words.shape[0] // mesh.size  # bound actually bites
+    stream, total, overflow = stitch_global(mesh, words, totals, cap_w)
+    assert not bool(overflow)
+    assert stream.shape[0] == mesh.size * cap_w
+    assert int(total) == len(ref)
+    np.testing.assert_array_equal(np.asarray(stream)[: len(ref)], ref)
+
+
+def test_stitch_global_overflow_flag(mesh):
+    """A word_cap below some shard's live count must raise the overflow
+    flag (total stays correct — it comes from the totals gather)."""
+    from wah_tpu.parallel import stitch_global
+
+    data = random_bitmap(8 * BLOCK_INTS, density=0.5, seed=29)
+    ref = golden.encode(data)
+    dev = jax.device_put(data)
+    words, totals = encode_sharded(mesh, dev, np.int32(chunk_count(len(data))))
+    assert int(np.asarray(totals).max()) > 64
+    _, total, overflow = stitch_global(mesh, words, totals, 64)
+    assert bool(overflow)
+    assert int(total) == len(ref)
+    # retry unbounded: the fallback path recovers the exact stream
+    stream, total, overflow = stitch_global(mesh, words, totals)
+    assert not bool(overflow) and int(total) == len(ref)
+    np.testing.assert_array_equal(np.asarray(stream)[: len(ref)], ref)
+
+
+def test_estimate_word_cap_holds(mesh):
+    """The sample-based cap must cover the true per-shard maximum for
+    representative densities (the overflow flag covers the rest)."""
+    from wah_tpu.parallel import estimate_word_cap
+
+    D = mesh.size
+    nb = 16
+    for dens, seed in ((1 / 2, 1), (1 / 16, 2), (1 / 1024, 3)):
+        data = random_bitmap(nb * BLOCK_INTS, density=dens, seed=seed)
+        dev = jax.device_put(data)
+        _, totals = encode_sharded(mesh, dev, np.int32(chunk_count(len(data))))
+        cap_w = estimate_word_cap(data, nb // D)
+        assert cap_w >= int(np.asarray(totals).max()), (dens, cap_w)

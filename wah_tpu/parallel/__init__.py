@@ -4,10 +4,12 @@ from .dist import (
     ShardedCodec,
     decode_sharded,
     encode_sharded,
+    estimate_word_cap,
     gather_bitmap,
     gather_stream,
     make_mesh,
     stitch_global,
+    stitch_word_cap,
 )
 
 __all__ = [
@@ -15,8 +17,10 @@ __all__ = [
     "ShardedCodec",
     "decode_sharded",
     "encode_sharded",
+    "estimate_word_cap",
     "gather_bitmap",
     "gather_stream",
     "make_mesh",
     "stitch_global",
+    "stitch_word_cap",
 ]

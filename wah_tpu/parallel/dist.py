@@ -16,8 +16,10 @@ Design (bit-identical to single chip by construction):
     stream — the only cross-chip data needed is the (D,) vector of
     per-shard word totals (an all_gather over ICI of a few bytes).
 
-  decode: the compressed stream is small (by the compression ratio), so
-    it is replicated; each shard expands only its own chunk span
+  decode: the compressed stream is small (by the compression ratio) —
+    and stitch_global's word_cap bound keeps the all_gather that
+    replicates it proportional to the compressed size, not the padded
+    capacity — so it is replicated; each shard expands only its own chunk span
     [shard * chunks_l, (shard+1) * chunks_l) via ops.decode.decode_span
     and emits its slice of the bitmap. The one-chunk cross-shard carry
     needed by the 31->32-bit merge is decoded locally from the replicated
@@ -48,6 +50,8 @@ __all__ = [
     "gather_stream",
     "gather_bitmap",
     "stitch_global",
+    "stitch_word_cap",
+    "estimate_word_cap",
     "ShardedCodec",
 ]
 
@@ -147,18 +151,32 @@ def _encode_shardmap(mesh: Mesh, stitch: str, use_pallas: bool | None,
     ))
 
 
-def _stitch_global_local(words_l: jnp.ndarray, totals_l: jnp.ndarray):
+def _stitch_global_local(
+    words_l: jnp.ndarray, totals_l: jnp.ndarray, word_cap: int | None = None
+):
     """Per-shard body: all_gather the shard streams and compact them into
     one replicated dense stream (the cross-chip equivalent of the
     reference's thrust::exclusive_scan + moveData stitch,
-    compress.cu:133-166). Communication: one all_gather of the word
-    payload + one of the (D,) totals over ICI."""
+    compress.cu:133-166). Communication: one all_gather of the (D,)
+    totals + one of the word payload over ICI. word_cap (static) bounds
+    the payload to the first word_cap words of each shard — the
+    interconnect analogue of the reference's exact-size output alloc
+    (compress.cu:159-166): never move dead capacity bytes. Totals are
+    gathered FIRST, so the overflow check (any shard's live words exceed
+    the bound) is a scalar compare on data already in hand."""
     totals = jax.lax.all_gather(totals_l, AXIS).reshape(-1)  # (D,)
-    segs = jax.lax.all_gather(words_l, AXIS)  # (D, cap_l)
-    D, cap_l = segs.shape
+    cap_l = words_l.shape[0]
+    eff = cap_l if word_cap is None else min(int(word_cap), cap_l)
+    overflow = (
+        (jnp.max(totals) > _I(eff))[None]
+        if eff < cap_l
+        else jnp.zeros((1,), bool)
+    )
+    segs = jax.lax.all_gather(words_l[:eff], AXIS)  # (D, eff)
+    D = segs.shape[0]
     offsets = jnp.cumsum(totals) - totals
     total = offsets[-1] + totals[-1]
-    out = jnp.zeros(D * cap_l, dtype=_U)
+    out = jnp.zeros(D * eff, dtype=_U)
 
     def body(d, out):
         # Each segment lands at its global offset; its garbage tail is
@@ -167,34 +185,76 @@ def _stitch_global_local(words_l: jnp.ndarray, totals_l: jnp.ndarray):
         return jax.lax.dynamic_update_slice(out, segs[d], (offsets[d],))
 
     out = jax.lax.fori_loop(0, D, body, out)
-    col = jnp.arange(D * cap_l, dtype=_I)
-    return jnp.where(col < total, out, _U(0)), total[None]
+    col = jnp.arange(D * eff, dtype=_I)
+    return jnp.where(col < total, out, _U(0)), total[None], overflow
 
 
 def stitch_global(
-    mesh: Mesh, words: jnp.ndarray, totals: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Sharded (words, totals) -> (replicated dense stream, total).
+    mesh: Mesh,
+    words: jnp.ndarray,
+    totals: jnp.ndarray,
+    word_cap: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sharded (words, totals) -> (replicated dense stream, total,
+    overflow).
 
     Jit-safe device-side equivalent of gather_stream: after this, every
-    chip holds the full compressed stream (it is small by the compression
-    ratio), ready for sharded decode or host offload.
+    chip holds the full compressed stream, ready for sharded decode or
+    host offload.
+
+    word_cap: static per-shard payload bound in words (None = full
+    capacity). Without it the all_gather moves each shard's whole
+    nb_l*1024-word capacity buffer regardless of how little is live —
+    ~6x the compressed bytes at ratio 0.22. Pass stitch_word_cap(totals)
+    (exact, needs the tiny (D,) totals on host) or
+    estimate_word_cap(data, nb_l) (sample-based, no device sync) to make
+    interconnect traffic proportional to compressed size. overflow is a
+    replicated bool scalar: True iff some shard's live words exceed
+    word_cap, in which case the stream is truncated garbage and the
+    caller must retry with a larger bound (total is always correct — it
+    comes from the totals gather, not the payload).
     """
-    stream, total = _stitch_shardmap(mesh)(words, totals)
-    return stream, total[0]
+    stream, total, ovf = _stitch_shardmap(mesh, word_cap)(words, totals)
+    return stream, total[0], ovf[0]
+
+
+def stitch_word_cap(totals) -> int:
+    """Exact static payload bound from the per-shard totals (host): the
+    max live word count, rounded up to a 1024-word tile."""
+    t = int(np.max(np.asarray(totals)))
+    return max(1024, -(-t // 1024) * 1024)
+
+
+def estimate_word_cap(data: np.ndarray, nb_l: int) -> int:
+    """Sample-based static payload bound from the RAW bitmap (host, no
+    device sync) — same strided-sample pattern as WahCodec._stitch_hint.
+
+    Per 1024-chunk block, words = literals + fill runs and consecutive
+    fill runs are separated by >=1 literal, so words <= 2*literals + 1.
+    The sampled nonzero-word fraction f approximates the non-zero-chunk
+    fraction (literals + one-fills), giving the per-block estimate
+    min(1024, 2048*f + 64) with margin for sampling noise. Not a hard
+    guarantee (stitch_global's overflow flag covers the residual): a
+    shard whose data is locally much denser than the global sample can
+    exceed it."""
+    step = max(1, data.shape[0] >> 16)
+    sample = data[::step]
+    f = np.count_nonzero(sample) / max(1, sample.shape[0])
+    per_block = min(BLOCK_CHUNKS, int(2048 * f) + 64)
+    return max(1024, -(-nb_l * per_block // 1024) * 1024)
 
 
 @lru_cache(maxsize=64)
-def _stitch_shardmap(mesh: Mesh):
+def _stitch_shardmap(mesh: Mesh, word_cap: int | None = None):
     """Cached jitted shard_map (see _encode_shardmap)."""
     # check_vma=False: the outputs ARE replicated (every shard computes the
     # same stitch from the same all_gathered segments), but the dynamic
     # update-slice loop defeats static replication inference.
     return jax.jit(jax.shard_map(
-        _stitch_global_local,
+        partial(_stitch_global_local, word_cap=word_cap),
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     ))
 
