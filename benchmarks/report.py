@@ -93,11 +93,13 @@ def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
         from wah_tpu.ops.pallas.decode_kernel import decode as dec_fn
         from wah_tpu.ops.pallas.encode_kernel import encode_padded
 
-        # same static stitch + adaptive selection the API applies
-        # host-side
+        # same static stitch + adaptive + route-bits selection the API
+        # applies host-side
         ad = WahCodec._adaptive_hint(data)
-        hint = (WahCodec._stitch_hint(data), ad)
-        enc_fn = partial(encode_padded, stitch=hint[0], adaptive=ad)
+        rb = 10 if ad else WahCodec._route_bits_hint(data)
+        hint = (WahCodec._stitch_hint(data), ad, rb)
+        enc_fn = partial(encode_padded, stitch=hint[0], adaptive=ad,
+                         route_bits=rb)
 
     n = data.shape[0]
     nv = np.int32(chunk_count(n))
@@ -110,8 +112,9 @@ def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
     iters = 17 if data.nbytes < (1 << 25) else 5
 
     def enc_step(p, x, nvv):
-        words, total = enc_fn(x, nvv - p)
-        return total + words[1].astype(jnp.int32)
+        r = enc_fn(x, nvv - p)  # (words, total[, violated])
+        extra = r[2] if len(r) == 3 else 0
+        return r[1] + extra + r[0][1].astype(jnp.int32)
 
     enc_s = amortized_seconds(
         enc_step, dev, nv, iters=iters,
@@ -134,12 +137,14 @@ def _device_kernel_seconds(data: np.ndarray, stream: np.ndarray):
         from wah_tpu.api import WahCodec as _WC
 
         dad = _WC._decode_adaptive_hint(stream)
-        dfn = partial(dec_fn, chunk_capacity=cap, adaptive=dad)
-        dkey = ("dec", M, cap, dad)
+        rt = None if dad else _WC._decode_route_hint(stream)
+        dfn = partial(dec_fn, chunk_capacity=cap, adaptive=dad, route=rt)
+        dkey = ("dec", M, cap, dad, rt)
 
     def dec_step(p, w, mm):
-        ints, n_ints = dfn(w, mm - p)
-        return n_ints + ints[1].astype(jnp.int32)
+        r = dfn(w, mm - p)  # (ints, n_ints[, violated])
+        extra = r[2] if len(r) == 3 else 0
+        return r[1] + extra + r[0][1].astype(jnp.int32)
 
     dec_s = amortized_seconds(
         dec_step, wdev, np.int32(m), iters=iters,

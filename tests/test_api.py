@@ -116,18 +116,94 @@ def test_size_cap_guard():
 
 
 def test_stitch_hint_selection():
-    """Host-side static stitch selection: v1 only for near-empty
-    bitmaps that also fit the SMEM-prefetch stitch; v3 otherwise."""
+    """Host-side static stitch selection: constant v3 since the v4 RMW
+    rework beat the v1 accumulator at every protocol density."""
     from wah_tpu.api import WahCodec
 
     sparse = np.zeros(100_000, np.uint32)
-    sparse[::997] = 1  # ~0.1% nonzero words
-    assert WahCodec._stitch_hint(sparse) == "v1"
+    sparse[::997] = 1
+    assert WahCodec._stitch_hint(sparse) == "v3"
     dense = np.full(100_000, 7, np.uint32)
     assert WahCodec._stitch_hint(dense) == "v3"
-    # huge sparse bitmaps must avoid the SMEM-prefetch v1 stitch
-    huge = np.zeros(1 << 27, np.uint32)
-    assert WahCodec._stitch_hint(huge) == "v3"
+
+
+def test_route_bits_hint():
+    """Sample-driven compaction pass count: few passes for data with
+    ~no fillable words, full 10 for fill-heavy (sparse) data, and no
+    bits-9 tier."""
+    from wah_tpu.api import WahCodec
+
+    rng = np.random.default_rng(3)
+    dense = rng.integers(1, 2**32 - 1, 100_000, np.uint64).astype(np.uint32)
+    assert WahCodec._route_bits_hint(dense) == 5
+    sparse = np.zeros(100_000, np.uint32)
+    sparse[::97] = 1
+    assert WahCodec._route_bits_hint(sparse) == 10
+    # mid density ~2^-4 protocol data -> a mid tier in [6, 8]
+    from benchmarks.report import generate_random_data
+
+    mid = generate_random_data(100_000, 16)
+    assert WahCodec._route_bits_hint(mid) in (6, 7, 8)
+    for bits_data in (dense, sparse, mid):
+        assert WahCodec._route_bits_hint(bits_data) != 9
+
+
+def test_decode_route_hint_and_violation():
+    """Decode's optimistic (ne, nc) tier: the hint tracks the sampled
+    expansion ratio / fill tail; an undersized route raises the exact
+    in-kernel violation flag, and the full variant stays golden."""
+    from wah_tpu import golden
+    from wah_tpu.api import WahCodec, _next_pow2
+    from wah_tpu.constants import BLOCK_CHUNKS, BLOCK_INTS
+    from wah_tpu.ops.pallas import decode_kernel
+    from benchmarks.report import generate_random_data
+
+    n = 16 * BLOCK_INTS
+    data = generate_random_data(n, 16)
+    data[5 * BLOCK_INTS : 6 * BLOCK_INTS] = 0  # one 1024-chunk fill
+    stream = golden.encode(data)
+    assert WahCodec._decode_route_hint(stream) is None  # long fill seen
+    mid = golden.encode(generate_random_data(n, 16))
+    ne, nc = WahCodec._decode_route_hint(mid)
+    assert 1 <= ne <= 8 and 1 <= nc <= 8
+
+    cap = 16 * BLOCK_CHUNKS
+    M = _next_pow2(max(len(stream), 1024))
+    padded = np.zeros(M, np.uint32)
+    padded[: len(stream)] = stream
+    # deliberately undersized route on the long-fill stream: must flag
+    ints, n_ints, viol = decode_kernel.decode(
+        padded, np.int32(len(stream)), cap, route=(3, 3)
+    )
+    assert int(viol) != 0
+    # adequate route: no flag, bit-exact output
+    ints, n_ints, viol = decode_kernel.decode(
+        padded, np.int32(len(stream)), cap, route=(6, 10)
+    )
+    assert int(viol) == 0 and int(n_ints) >= n
+    np.testing.assert_array_equal(np.asarray(ints)[:n], data)
+
+
+def test_route_bits_violation_fallback():
+    """A bitmap whose strided sample underestimates the true routing
+    displacement (one all-zero block inside literal-heavy data) must
+    trip the in-kernel violation flag and fall back to the full
+    variant — the returned stream stays golden."""
+    from wah_tpu import golden
+    from wah_tpu.api import WahCodec
+    from wah_tpu.constants import BLOCK_INTS
+
+    rng = np.random.default_rng(9)
+    n = 16 * BLOCK_INTS
+    data = rng.integers(1, 2**32 - 1, n, np.uint64).astype(np.uint32)
+    data[5 * BLOCK_INTS : 6 * BLOCK_INTS] = 0  # dmax 1023 in one block
+    codec = WahCodec(kernel="pallas")
+    hint = codec._route_bits_hint(data)
+    assert hint < 10  # the sample still suggests the optimistic tier
+    stream, _ = codec.compress(data)
+    np.testing.assert_array_equal(stream, golden.encode(data))
+    out, _ = codec.decompress(stream, out_ints=n)
+    np.testing.assert_array_equal(out, data)
 
 
 def test_segmented_compress_decompress():

@@ -104,12 +104,15 @@ class WahCodec:
             return False
 
     def _encode_fn(self, nb: int, stitch: str = "auto",
-                   adaptive: bool = False):
+                   adaptive: bool = False, route_bits: int = 10):
         use_pallas = self._use_pallas()
         if not use_pallas:
             stitch = "auto"  # XLA path has no stitch variants
             adaptive = False
-        key = (nb, use_pallas, stitch, adaptive)
+            route_bits = 10
+        if adaptive:  # the adaptive tiers cover the all-literal regime
+            route_bits = 10
+        key = (nb, use_pallas, stitch, adaptive, route_bits)
         fn = self._encode_fns.get(key)
         if fn is None:
             if use_pallas:
@@ -117,7 +120,7 @@ class WahCodec:
 
                 fn = jax.jit(
                     partial(encode_kernel.encode_padded, stitch=stitch,
-                            adaptive=adaptive)
+                            adaptive=adaptive, route_bits=route_bits)
                 )
             else:
                 fn = jax.jit(_encode_ops.encode_padded)
@@ -126,28 +129,16 @@ class WahCodec:
 
     @staticmethod
     def _stitch_hint(data: np.ndarray) -> str:
-        """Static stitch-variant choice from a strided host-side sample
-        of the raw bitmap. The fraction of nonzero WORDS approximates
-        the literal fraction of the stream (a 31-bit chunk is a literal
-        iff nonzero): near 1.0 the stream is incompressible and the
-        constant-cost v3 stitch wins; below, the flush-proportional v1
-        accumulator wins (crossover measured between densities 2^-4,
-        literal fraction 0.87, and 0.5 — benchmarks/micro.py stv1/stv3).
-        Moving this choice to the host removes the in-graph lax.cond,
-        which costs several ms when the v1 branch is taken."""
-        step = max(1, data.shape[0] >> 16)
-        sample = data[::step]
-        frac = np.count_nonzero(sample) / max(1, sample.shape[0])
-        # Full-pipeline measurements (130 MB, v5e): v3 is flat ~5.4 ms
-        # at every density; v1 wins only for near-empty bitmaps
-        # (2^-16: 5.11 vs 5.44 ms) and degrades fast with density
-        # (2^-8: 6.0 ms, 2^-4: 8.2 ms). Choose v1 only when the stream
-        # is almost all fills. Size guard: v1 scalar-prefetches one
-        # int32 per block row into SMEM (1 MB on v5e), so huge streams
-        # must take v3 (whose per-row metadata rides in VMEM).
-        if data.shape[0] >= (1 << 27):  # >= 512 MB bitmap
-            return "v3"
-        return "v1" if frac < 0.02 else "v3"
+        """Static stitch-variant choice. Through round 4 this sampled
+        the bitmap and chose the flush-proportional v1 accumulator for
+        near-empty data (2^-16: 5.11 vs 5.44 ms then). The round-5 v4
+        RMW rework of the v3 stitch (stitch2._body_v4: pre-zeroed
+        window + one fused 2-tile RMW per row) made v3 faster at EVERY
+        protocol density (measured v5e, 130 MB full pipeline: 2^-16
+        v3 4.39 vs v1 4.73 ms; 2^-8 4.23 vs 4.79; 2^-4 4.24 vs ~10),
+        so the hint is now constant. v1 remains a tested independent
+        implementation (tests + tpu_differential)."""
+        return "v3"
 
     @staticmethod
     def _adaptive_hint(data: np.ndarray) -> bool:
@@ -176,6 +167,34 @@ class WahCodec:
         return fillable == 0
 
     @staticmethod
+    def _route_bits_hint(data: np.ndarray) -> int:
+        """Static compaction pass count (encode_kernel route_bits) from
+        the same strided sample as _stitch_hint. The monotone log-shift
+        compaction needs ceil(log2(dmax+1)) passes where dmax is the
+        largest per-block routing displacement = suppressed (non-run-
+        start) chunks before a lane. A chunk is suppressed iff it and
+        its predecessor are same-type fills, so for Bernoulli-ish data
+        E[suppressed/block] = mu ~= 1024*(z^2 + o^2) with z/o the
+        sampled all-zero/all-one word fractions; bits covers mu plus a
+        6-sigma binomial margin. NOT a guarantee (clustered data can
+        exceed it): the kernel compares the true per-tile dmax and
+        raises a violation flag, and compress() re-runs with the full
+        10 passes — optimistic-with-fallback, same pattern as the
+        bounded distributed stitch. Measured v5e (130 MB): 2^-4
+        30.7 -> 32.5 GB/s (bits 6), 2^-2 29.8 -> 32.4 (bits 5).
+        Bits 9 is skipped (one pass saved rarely survives a clustered
+        outlier's fallback risk)."""
+        step = max(1, data.shape[0] >> 16)
+        sample = data[::step]
+        ns = max(1, sample.shape[0])
+        z = np.count_nonzero(sample == 0) / ns
+        o = np.count_nonzero(sample == np.uint32(0xFFFFFFFF)) / ns
+        mu = 1024.0 * (z * z + o * o)
+        thr = mu + 6.0 * np.sqrt(mu + 1.0) + 8.0
+        bits = max(5, int(np.ceil(np.log2(thr))))
+        return bits if bits <= 8 else 10
+
+    @staticmethod
     def _decode_adaptive_hint(words: np.ndarray) -> bool:
         """Adaptive decode hint from the STREAM: the decode trivial
         tier fires when every covering word covers one chunk, i.e. the
@@ -189,11 +208,45 @@ class WahCodec:
         fills = int(np.count_nonzero(sample & np.uint32(BIT31)))
         return fills == 0
 
-    def _decode_fn(self, M: int, cap: int, adaptive: bool = False):
+    @staticmethod
+    def _decode_route_hint(words: np.ndarray):
+        """Static expansion/forward-fill pass counts (ne, nc) for the
+        decode kernel's optimistic tier (decode_kernel._route_fill),
+        estimated from a strided STREAM sample — unlike the encode
+        hint, the stream itself is in hand, so the expansion ratio r
+        (mean chunks per word) and the fill-length tail are sampled
+        directly. Per output block the max expansion displacement is
+        1024 - consumed_words ~= 1024*(1 - 1/r); ne covers that plus a
+        6-sigma margin, nc covers 4x the sampled max fill length. Not a
+        guarantee (the kernel re-checks the exact per-tile bounds and
+        flags violations; decompress() falls back to the full variant).
+        Returns None (= full 10+10 passes) when either bound exceeds 8
+        bits — fill-heavy sparse streams route the whole range anyway.
+        Measured v5e (130 MB 2^-4): decode 5.85 -> X ms."""
+        step = max(1, words.shape[0] >> 16)
+        sample = words[::step]
+        if sample.shape[0] == 0:
+            return None
+        is_fill = (sample & np.uint32(BIT31)) != 0
+        lens = np.where(is_fill, sample & np.uint32(LEN_MASK), 1)
+        r = float(lens.mean())  # expansion ratio (chunks per word)
+        s = 1024.0 * (1.0 - 1.0 / r)  # mean per-block displacement
+        thr_e = s + 6.0 * np.sqrt(s + 1.0) + 8.0
+        ne = max(1, int(np.ceil(np.log2(thr_e))))
+        nc = max(1, int(np.ceil(np.log2(4.0 * float(lens.max()) + 4.0))))
+        if ne > 8 or nc > 8:
+            return None
+        return ne, nc
+
+    def _decode_fn(self, M: int, cap: int, adaptive: bool = False,
+                   route=None):
         use_pallas = self._use_pallas()
         if not use_pallas:
             adaptive = False
-        key = (M, cap, use_pallas, adaptive)
+            route = None
+        if adaptive:
+            route = None
+        key = (M, cap, use_pallas, adaptive, route)
         fn = self._decode_fns.get(key)
         if fn is None:
             if use_pallas:
@@ -201,7 +254,7 @@ class WahCodec:
 
                 fn = jax.jit(
                     partial(decode_kernel.decode, chunk_capacity=cap,
-                            adaptive=adaptive)
+                            adaptive=adaptive, route=route)
                 )
             else:
                 fn = jax.jit(partial(_decode_ops.decode, chunk_capacity=cap))
@@ -569,11 +622,22 @@ class WahCodec:
         dev.block_until_ready()
         t.stop("to_device")
 
-        fn = self._encode_fn(
-            nb_b, self._stitch_hint(data), self._adaptive_hint(data)
-        )
+        stitch = self._stitch_hint(data)
+        adaptive = self._adaptive_hint(data)
+        route_bits = 10 if adaptive else self._route_bits_hint(data)
+        use_pallas = self._use_pallas()
+        fn = self._encode_fn(nb_b, stitch, adaptive, route_bits)
         t.start()
-        words, total = fn(dev, np.int32(nv))
+        if use_pallas and not adaptive and route_bits < 10:
+            # optimistic pass count: re-run the full variant if any
+            # tile's routing displacement exceeded the hint (the flag
+            # is exact, so the fallback stream is always bit-correct)
+            words, total, viol = fn(dev, np.int32(nv))
+            if int(viol):
+                fn = self._encode_fn(nb_b, stitch, adaptive, 10)
+                words, total = fn(dev, np.int32(nv))
+        else:
+            words, total = fn(dev, np.int32(nv))
         jax.block_until_ready((words, total))
         t.stop("kernel")
 
@@ -614,9 +678,20 @@ class WahCodec:
         dev.block_until_ready()
         t.stop("to_device")
 
-        fn = self._decode_fn(M, cap, self._decode_adaptive_hint(words))
+        adaptive = self._decode_adaptive_hint(words)
+        route = None if adaptive else self._decode_route_hint(words)
+        use_pallas = self._use_pallas()
+        fn = self._decode_fn(M, cap, adaptive, route)
         t.start()
-        ints, n_ints = fn(dev, np.int32(m))
+        if use_pallas and route is not None:
+            # optimistic tier: exact in-kernel bound check; re-run the
+            # full variant on violation (output garbage until then)
+            ints, n_ints, viol = fn(dev, np.int32(m))
+            if int(viol):
+                fn = self._decode_fn(M, cap, adaptive, None)
+                ints, n_ints = fn(dev, np.int32(m))
+        else:
+            ints, n_ints = fn(dev, np.int32(m))
         jax.block_until_ready((ints, n_ints))
         t.stop("kernel")
 

@@ -20,6 +20,7 @@ __all__ = [
     "shift_left",
     "cumsum_lanes",
     "cumsum_lanes_mxu",
+    "cumsum_lanes_packed_rows",
     "cummax_lanes",
     "compact_lanes",
     "expand_lanes",
@@ -79,6 +80,28 @@ def cummax_lanes(x, nbits: int, neutral, col=None):
     for b in range(nbits):
         x = jnp.maximum(x, shift_right(x, 1 << b, neutral, col))
     return x
+
+
+def cumsum_lanes_packed_rows(x, nbits: int):
+    """Inclusive lane prefix sum of (B, L) int32 whose per-row totals
+    stay < 2^15 (WAH block scans cap at 1024), with rows r and r+B/2
+    packed into the lo/hi 16-bit fields of one int32 row: the nbits
+    roll+add passes run on (B/2, L), halving the scan's roll work for
+    one pack (shift+or) and one unpack (mask/shift+concat). Field sums
+    cannot carry across the 16-bit boundary (values < 2^15), and the
+    shift fill is 0 in both fields. Falls back to the flat scan for odd
+    B. NEGATIVE RESULT on v5e (130 MB 2^-4 encode tile kernel): 2.65 ->
+    2.77 ms — the pack and the (B, L) concat cost more than the halved
+    rolls save. Kept for documentation / other-shape experiments; the
+    kernels use the flat scans."""
+    B = x.shape[0]
+    if B % 2:
+        return cumsum_lanes(x, nbits)
+    h = B // 2
+    packed = x[:h] | (x[h:] << 16)
+    col = lane_iota(packed.shape)
+    packed = cumsum_lanes(packed, nbits, col)
+    return jnp.concatenate([packed & 0xFFFF, packed >> 16], axis=0)
 
 
 # -- 2-D decomposed scans ----------------------------------------------------

@@ -153,9 +153,13 @@ def _rotate_left_rows(x, s, nbits: int):
 
 def _decode_body(
     rbase_ref, meta_ref, words_ref, rbt_ref, mmasks_ref, tri_ref,
-    ints_ref, wbulk, rbw, wscr, rloc_ref, rloc_s, sem, sem2,
-    *, adaptive: bool,
+    ints_ref, *rest, adaptive: bool,
+    route: tuple[int, int] | None = None,
 ):
+    if route is not None:
+        (viol_ref, wbulk, rbw, wscr, rloc_ref, rloc_s, sem, sem2) = rest
+    else:
+        (wbulk, rbw, wscr, rloc_ref, rloc_s, sem, sem2) = rest
     pid = pl.program_id(0)
     B = ints_ref.shape[0]
     m = meta_ref[1]
@@ -332,7 +336,19 @@ def _decode_body(
 
         return f
 
-    if adaptive:
+    if route is not None:
+        # optimistic static tier (host-hinted from a stream sample,
+        # branch-free — the taken-cond tiers cost ~7% when consistently
+        # taken): violations are exact (emax/gmax are the same scalars
+        # the adaptive conds test) and flagged per step; the host
+        # re-runs the full variant (api.WahCodec.decompress fallback).
+        ne, nc = route
+        emax = jnp.max(dok) >> 1  # max (target - lane) over the tile
+        gmax = jnp.max(jnp.where(ok, cnt, zi))  # longest covering run
+        chunks = _route_fill(ne, nc)((val_d, dok))
+        viol = ((emax >> ne) != 0) | (gmax > (1 << nc))
+        viol_ref[:] = jnp.zeros((B, 1), _I) + viol.astype(_I)
+    elif adaptive:
         emax = jnp.max(dok) >> 1  # max (target - lane) over the tile
         gmax = jnp.max(jnp.where(ok, cnt, zi))  # longest covering run
         chunks = jax.lax.cond(
@@ -375,15 +391,23 @@ def _decode_body(
 
 def decode(
     words: jnp.ndarray, m, chunk_capacity: int, chunk_base=0,
-    adaptive: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    adaptive: bool = False, route: tuple[int, int] | None = None,
+):
     """Fused-kernel equivalent of ops.decode.decode: words[:m] ->
     (ints (chunk_capacity//32*31,), n_ints). chunk_capacity must be a
     multiple of 1024. chunk_base (a block-aligned traced scalar) decodes
     the span [chunk_base, chunk_base + chunk_capacity) instead — the
     unit of work one shard owns in the distributed decoder; n_ints is
-    still the stream's global total."""
+    still the stream's global total.
+
+    route=(ne, nc) (host-hinted, see api.WahCodec._decode_route_hint)
+    selects the optimistic static expansion/forward-fill tier
+    (_route_fill(ne, nc)) and appends a scalar `violated` int32 to the
+    return: (ints, n_ints, violated). Nonzero violated means some tile
+    needed more passes — the output is garbage and the caller must
+    re-run with route=None. Mutually exclusive with `adaptive`."""
     assert chunk_capacity % L == 0, chunk_capacity
+    assert route is None or not adaptive, (route, adaptive)
     M = words.shape[0]
     B = TILE_BLOCKS
     words = words.astype(_U)
@@ -430,23 +454,39 @@ def decode(
     meta = jnp.stack(
         [n_chunks, m, base_i, jnp.full((), 0x7FFFFFFF, _I)]
     )
-    ints2d = _run_decode(rbase, meta, words_t, rbt, nbo_p, adaptive)
+    res = _run_decode(rbase, meta, words_t, rbt, nbo_p, adaptive, route)
+    ints2d = res[0] if route is not None else res
     ints = ints2d.reshape(-1)[: nbo * BLOCK_INTS]
     # ceil(31*n/32) written overflow-free as n - n//32: 31*n_chunks
     # wraps int32 past n_chunks = 69,273,666 (~268 MB of bitmap; the
     # 496 MB s=128 sweep config decoded a NEGATIVE n_ints and the host
     # sliced the output short)
     n_ints = n_chunks - n_chunks // 32
+    if route is not None:
+        return ints, n_ints, jnp.max(res[1])
     return ints, n_ints
 
 
-def _run_decode(rbase, meta, words_t, rbt, nbo_p, adaptive=False):
-    """Launch _decode_body over nbo_p output blocks -> (nbo_p, 992)."""
+def _run_decode(rbase, meta, words_t, rbt, nbo_p, adaptive=False,
+                route=None):
+    """Launch _decode_body over nbo_p output blocks -> (nbo_p, 992)
+    (plus per-block violation flags (nbo_p, 1) when `route` is set)."""
     from functools import partial as _partial
 
     from .encode_kernel import _resolve_adaptive
 
     B = TILE_BLOCKS
+    out_specs = [
+        pl.BlockSpec((B, BLOCK_INTS), lambda i, rba, mt: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((nbo_p, BLOCK_INTS), _U)]
+    if route is not None:
+        out_specs.append(
+            pl.BlockSpec((B, 1), lambda i, rba, mt: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nbo_p, 1), _I))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nbo_p // B,),
@@ -458,10 +498,7 @@ def _run_decode(rbase, meta, words_t, rbt, nbo_p, adaptive=False):
             pl.BlockSpec((128, 128), lambda i, rba, mt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((B, BLOCK_INTS), lambda i, rba, mt: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((8 * (B + 2), 128), _U),
             pltpu.VMEM((3, 1, 1024), _I),
@@ -472,10 +509,11 @@ def _run_decode(rbase, meta, words_t, rbt, nbo_p, adaptive=False):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    return pl.pallas_call(
-        _partial(_decode_body, adaptive=_resolve_adaptive(adaptive)),
+    res = pl.pallas_call(
+        _partial(_decode_body, adaptive=_resolve_adaptive(adaptive),
+                 route=route),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nbo_p, BLOCK_INTS), _U)],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
@@ -487,7 +525,10 @@ def _run_decode(rbase, meta, words_t, rbt, nbo_p, adaptive=False):
         rbt,
         jnp.asarray(_MERGE_MASKS),
         jnp.asarray(tri128()),
-    )[0]
+    )
+    if route is not None:
+        return res[0], res[1]
+    return res[0]
 
 
 def decode_batch(

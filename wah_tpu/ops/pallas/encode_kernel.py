@@ -149,7 +149,7 @@ _REPART_MASKS = _repart_masks()
 # ---------------------------------------------------------------------------
 
 def _encode_body(nv_ref, masks_ref, tri_ref, ints_ref, staging_ref,
-                 counts_ref, *, adaptive: bool):
+                 counts_ref, *, adaptive: bool, route_bits: int = 10):
     B, _ = staging_ref.shape
     pid = pl.program_id(0)
     col = lane_iota((B, L))
@@ -200,6 +200,11 @@ def _encode_body(nv_ref, masks_ref, tri_ref, ints_ref, staging_ref,
         if MXU_SCANS:
             incl = cumsum_lanes_mxu(start.astype(_I), tri_ref[...])
         else:
+            # (cumsum_lanes_packed_rows — 2 rows per int32, halved scan
+            # width — measured SLOWER here: 2.77 vs 2.65 ms tile kernel
+            # at 130 MB 2^-4; the pack + (B,1024) concat overhead
+            # exceeds the halved roll work. Kept in common.py as a
+            # documented negative result.)
             incl = _cumsum(start.astype(_I), 10, col)
         widx = incl - 1
         cnt_col = incl[:, L - 1 : L]
@@ -235,13 +240,21 @@ def _encode_body(nv_ref, masks_ref, tri_ref, ints_ref, staging_ref,
             kk = 1 << k
 
             def f(args):
+                # one shared roll of d serves both the receive mask and
+                # the d update (the naive shift_left(d & kk, kk) form
+                # rolls d twice — 8 vector ops/pass instead of 7)
                 vals, d = args
-                src = shift_left(d & kk, kk, _I(0), col) != 0
+                sd = jnp.where(
+                    col < L - kk,
+                    pltpu.roll(d, shift=L - kk, axis=1),
+                    _I(0),
+                )
+                src = (sd & kk) != 0
                 return (
                     jnp.where(
                         src, pltpu.roll(vals, shift=L - kk, axis=1), vals
                     ),
-                    jnp.where(src, pltpu.roll(d, shift=L - kk, axis=1), d),
+                    jnp.where(src, sd, d),
                 )
 
             return f
@@ -256,7 +269,17 @@ def _encode_body(nv_ref, masks_ref, tri_ref, ints_ref, staging_ref,
 
             return f
 
-        if adaptive:
+        if route_bits < 10:
+            # optimistic static pass count (host-hinted, branch-free —
+            # the in-kernel cond alternative costs more than the skipped
+            # passes save at mid densities, see the adaptive note):
+            # any tile whose max displacement needs more passes raises
+            # the violation bit (carried in counts bit 16 — Mosaic
+            # rejects a (1,1)-block output); the host re-runs the full
+            # 10-pass variant (api.WahCodec.compress fallback).
+            viol = ((jnp.max(d & 1023) >> route_bits) != 0).astype(_I)
+            vals, d = _route(route_bits)((vals, d))
+        elif adaptive:
             # one cond over whole variants, not one per pass (decode
             # measured ~0.2-0.35 ms per taken scf region): tiles whose
             # max displacement is small — any data with ratio near 1 —
@@ -265,12 +288,14 @@ def _encode_body(nv_ref, masks_ref, tri_ref, ints_ref, staging_ref,
             vals, d = jax.lax.cond(
                 dmax < 64, _route(6), _route(10), (vals, d)
             )
+            viol = _I(0)
         else:
             vals, d = _route(10)((vals, d))
+            viol = _I(0)
         endcol = d >> 10
         run_len = (endcol - shift_right(endcol, 1, _I(-1), col)).astype(_U)
         vals = jnp.where((vals & _U(BIT31)) != 0, vals | run_len, vals)
-        return vals, cnt_col
+        return vals, cnt_col, viol.reshape(1, 1)
 
     def _fast(_):
         # every valid lane starts its own run and the tile is fully
@@ -282,26 +307,39 @@ def _encode_body(nv_ref, masks_ref, tri_ref, ints_ref, staging_ref,
             chunk,
             jnp.where(t == _I(1), _U(BIT3130 | 1), _U(BIT31 | 1)),
         )
-        return value, jnp.full((B, 1), L, _I)
+        return value, jnp.full((B, 1), L, _I), jnp.zeros((1, 1), _I)
 
     if adaptive:
-        vals, cnt_col = jax.lax.cond(jnp.all(start), _fast, _slow, None)
+        vals, cnt_col, viol = jax.lax.cond(jnp.all(start), _fast, _slow, None)
     else:
-        vals, cnt_col = _slow(None)
-    counts_ref[:] = cnt_col
+        vals, cnt_col, viol = _slow(None)
+    if route_bits < 10:  # violation bit rides counts (stripped by caller)
+        counts_ref[:] = cnt_col | (viol << 16)
+    else:
+        counts_ref[:] = cnt_col
     staging_ref[:] = jnp.where(col < cnt_col, vals, zero_u)
 
 
 def encode_tiles(
-    ints2d: jnp.ndarray, nv: jnp.ndarray, adaptive: bool = False
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    ints2d: jnp.ndarray, nv: jnp.ndarray, adaptive: bool = False,
+    route_bits: int = 10,
+):
     """(nb, 992) uint32 + (2,) [valid-chunk count, global chunk base]
     (or (3,) with a trailing position mask — see _encode_body) ->
     (staging (nb, 1024) uint32, counts (nb, 1) int32). nb % TILE == 0.
     chunk_base is nonzero on shards of a distributed encode (validity is
-    judged against the global chunk position)."""
+    judged against the global chunk position).
+
+    route_bits < 10 selects the optimistic static compaction variant
+    (see _encode_body): the returned counts carry a violation bit at
+    bit 16 (counts & 0xFFFF = true counts; counts >> 16 nonzero where a
+    tile's routing displacement exceeded 2^route_bits — staging for
+    that step is then garbage and the caller must re-run with
+    route_bits=10). Mutually exclusive with `adaptive` (whose in-kernel
+    tiers cover the same regime for all-literal data)."""
     nb = ints2d.shape[0]
     assert ints2d.shape == (nb, BLOCK_INTS) and nb % TILE_BLOCKS == 0
+    assert not (adaptive and route_bits < 10), (adaptive, route_bits)
     nv = nv.astype(_I).reshape(-1)
     if nv.shape[0] == 2:  # no mask: identity on non-negative positions
         nv = jnp.concatenate([nv, jnp.full((1,), 0x7FFFFFFF, _I)])
@@ -330,7 +368,8 @@ def encode_tiles(
     from functools import partial as _partial
 
     return pl.pallas_call(
-        _partial(_encode_body, adaptive=_resolve_adaptive(adaptive)),
+        _partial(_encode_body, adaptive=_resolve_adaptive(adaptive),
+                 route_bits=route_bits),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, L), _U),
@@ -758,7 +797,8 @@ def encode_padded_fused(
 def encode_padded(
     ints: jnp.ndarray, n_valid_chunks, chunk_base=0, stitch: str = "auto",
     adaptive: bool = False, adaptive_stitch: bool | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    route_bits: int = 10,
+):
     """Fused-kernel equivalent of ops.encode.encode_padded: compress a
     block-aligned (nb*992,) uint32 bitmap. Returns (words (nb*1024,),
     total); words beyond total are unspecified (see module docstring).
@@ -775,7 +815,12 @@ def encode_padded(
     host (api.WahCodec samples the raw input) should pass a static
     choice: the cond variant costs several ms extra per call on TPU
     when the v1 branch is taken (measured benchmarks/micro.py,
-    130 MB @ 2^-16: cond 11.7 ms vs static-v1 components ~4.7 ms)."""
+    130 MB @ 2^-16: cond 11.7 ms vs static-v1 components ~4.7 ms).
+
+    route_bits < 10 (host-hinted, see api.WahCodec._route_bits_hint)
+    selects the optimistic static compaction and appends a scalar
+    `violated` int32 to the return: (words, total, violated). Nonzero
+    violated means the stream is garbage — re-run with route_bits=10."""
     assert ints.shape[0] % BLOCK_INTS == 0, ints.shape
     nb = ints.shape[0] // BLOCK_INTS
     nbp = -(-nb // TILE_BLOCKS) * TILE_BLOCKS
@@ -787,8 +832,11 @@ def encode_padded(
     if adaptive_stitch is None:
         adaptive_stitch = adaptive
     nv = _clamped_nv(n_valid_chunks, chunk_base, nb)
-    staging, counts = encode_tiles(ints2d, nv, adaptive)
+    staging, counts = encode_tiles(ints2d, nv, adaptive, route_bits)
     counts = counts[:, 0]
+    if route_bits < 10:  # violation bit rides counts bit 16
+        viol = jnp.max(counts >> 16)
+        counts = counts & 0xFFFF
     offsets_ext = jnp.concatenate(
         [jnp.zeros((1,), _I), jnp.cumsum(counts, dtype=_I)]
     )
@@ -814,6 +862,8 @@ def encode_padded(
             lambda args: stitch_tiles(*args),
             (staging, offsets_ext),
         )
+    if route_bits < 10:
+        return words[: nb * L], total, jnp.max(viol)
     return words[: nb * L], total
 
 

@@ -110,7 +110,7 @@ def _body(*refs, poison: bool, smem_meta: bool, adaptive: bool):
         buf[pl.ds(t + 1, 1)] = jnp.where(cross == 1, hi, o2 | hi)
 
     # flush the window; carry the boundary tile to slot 0
-    tb = tb_ref[pid]
+    tb = tb_ref[pid] & 0x3FFFFFFF
     cp = pltpu.make_async_copy(buf, out_ref.at[pl.ds(tb, B + 1)], sem)
     cp.start()
     cp.wait()
@@ -120,7 +120,7 @@ def _body(*refs, poison: bool, smem_meta: bool, adaptive: bool):
         # clamp: at batched-column boundaries tb jumps by up to a whole
         # column capacity; the landing row is fresh (tile-aligned column
         # base), so any in-range tile serves as the (ignored) carry
-        te = jnp.minimum(tb_ref[pid + 1] - tb, B)
+        te = jnp.minimum((tb_ref[pid + 1] & 0x3FFFFFFF) - tb, B)
         carry = buf[pl.ds(te, 1)]
         if poison:  # interpreter-only: make first-touch bugs visible
             buf[...] = jnp.full_like(buf[...], 0xDEADBEEF)
@@ -169,7 +169,7 @@ def _body_v3(*refs, poison: bool, smem_meta: bool, adaptive: bool):
         o2 = buf[pl.ds(t + 1, 1)]
         buf[pl.ds(t + 1, 1)] = jnp.where(cross == 1, hi, o2 | hi)
 
-    tb = tb_ref[pid]
+    tb = tb_ref[pid] & 0x3FFFFFFF
     cp = pltpu.make_async_copy(buf, out_ref.at[pl.ds(tb, B + 1)], sem)
     cp.start()
     cp.wait()
@@ -179,11 +179,72 @@ def _body_v3(*refs, poison: bool, smem_meta: bool, adaptive: bool):
         # clamp: at batched-column boundaries tb jumps by up to a whole
         # column capacity; the landing row is fresh (tile-aligned column
         # base), so any in-range tile serves as the (ignored) carry
-        te = jnp.minimum(tb_ref[pid + 1] - tb, B)
+        te = jnp.minimum((tb_ref[pid + 1] & 0x3FFFFFFF) - tb, B)
         carry = buf[pl.ds(te, 1)]
         if poison:  # interpreter-only: make first-touch bugs visible
             buf[...] = jnp.full_like(buf[...], 0xDEADBEEF)
         buf[pl.ds(0, 1)] = carry
+
+
+def _body_v4(*refs, smem_meta: bool, adaptive: bool):
+    """v4 = v3 with a pre-zeroed window and one fused 2-tile RMW.
+
+    v3's per-row loop did two dynamic-index RMWs (tiles t and t+1) with
+    fresh/cross first-touch selects — the scalar addressing work of
+    that loop dominates the stitch at high flush rates (~50 ns/row of
+    the ~2.4 ms 130 MB stitch). Zeroing the window up front (one vector
+    store of the B tiles past the carry slot) makes every touch a plain
+    OR, and tiles t, t+1 are adjacent, so the two RMWs fuse into ONE
+    dynamic (2, 8, 128) read-OR-write per row. The fresh/cross meta
+    bits become unnecessary; the one case that relied on fresh-clobber
+    — a batched-column boundary jump landing on a stale carry slot —
+    is handled by the step-base vector's bit 30 (set when the next
+    step's first row starts a fresh tile), which zeroes the carry
+    instead of forwarding it."""
+    if smem_meta:
+        (packed_ref, tb_ref, staging_ref, meta_ref, hbcol_ref,
+         out_ref, buf, sem) = refs
+    else:
+        (tb_ref, staging_ref, meta_ref, hbcol_ref,
+         out_ref, buf, sem) = refs
+        packed_ref = None
+    pid = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    B = staging_ref.shape[0]
+    col = lane_iota((B, L))
+    zero_u = jnp.zeros((B, L), _U)
+
+    p_vec = meta_ref[:] & 0x3FF
+    rot = _rotate_right_rows(staging_ref[:], p_vec, 10, adaptive)
+    low = jnp.where(col >= p_vec, rot, zero_u)
+    high = jnp.where(col < hbcol_ref[:], rot, zero_u)
+    w3 = jnp.concatenate([low, high], axis=1).reshape(2 * B, 8, 128)
+
+    @pl.when(pid == 0)
+    def _():
+        buf[pl.ds(0, 1)] = jnp.zeros((1, 8, 128), _U)
+
+    buf[pl.ds(1, B)] = jnp.zeros((B, 8, 128), _U)
+
+    for r in range(B):
+        pk = (packed_ref[pid * B + r] if smem_meta
+              else meta_ref[r, 0])
+        t = (pk >> 10) & 0x3FF
+        buf[pl.ds(t, 2)] = buf[pl.ds(t, 2)] | w3[2 * r : 2 * r + 2]
+
+    tb = tb_ref[pid] & 0x3FFFFFFF
+    cp = pltpu.make_async_copy(buf, out_ref.at[pl.ds(tb, B + 1)], sem)
+    cp.start()
+    cp.wait()
+
+    @pl.when(pid < nsteps - 1)
+    def _():
+        nxt = tb_ref[pid + 1]
+        te = jnp.minimum((nxt & 0x3FFFFFFF) - tb, B)
+        fresh0 = (nxt >> 30) & 1
+        buf[pl.ds(0, 1)] = jnp.where(
+            fresh0 == 0, buf[pl.ds(te, 1)], jnp.zeros((1, 8, 128), _U)
+        )
 
 
 def stitch_tiles_v2(
@@ -194,6 +255,7 @@ def stitch_tiles_v2(
     layout3d: bool = True,
     counts: jnp.ndarray | None = None,
     adaptive: bool = False,
+    fused_rmw: bool = True,
 ) -> jnp.ndarray:
     """Assemble the dense stream from (nb, 1024) staging rows + exclusive
     word offsets (nb+1,). Returns (nb*1024,) uint32; words beyond
@@ -232,6 +294,10 @@ def stitch_tiles_v2(
     cross = (p + counts > L).astype(_I)
     meta = p | (t_loc << 10) | (fresh << 20) | (cross << 21)
     hb = jnp.maximum(p + counts - L, 0)
+    # bit 30 of the step-base vector: the step's first row starts a
+    # fresh tile (v4 zeroes the carry slot instead of forwarding it —
+    # the batched-column boundary case; v2/v3 mask the bit off)
+    tb = tb | (fresh[::B] << 30)
 
     T = nb + B + 2
     buf_shape = (B + 1, 8, 128) if layout3d else (B + 1, 1, L)
@@ -262,9 +328,15 @@ def stitch_tiles_v2(
     args = (meta[:, 0], tb) if smem_meta else (tb,)
     from .encode_kernel import _resolve_adaptive
 
+    if layout3d and fused_rmw:
+        body = partial(_body_v4, smem_meta=smem_meta,
+                       adaptive=_resolve_adaptive(adaptive))
+    else:
+        body = partial(_body_v3 if layout3d else _body, poison=poison,
+                       smem_meta=smem_meta,
+                       adaptive=_resolve_adaptive(adaptive))
     out = pl.pallas_call(
-        partial(_body_v3 if layout3d else _body, poison=poison,
-                smem_meta=smem_meta, adaptive=_resolve_adaptive(adaptive)),
+        body,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(out_shape3, _U)],
         compiler_params=pltpu.CompilerParams(
