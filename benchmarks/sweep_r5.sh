@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-5 FULL sweep refresh: every kernel changed (v4 stitch, encode
+# route_bits, decode route tiers), so every committed row is
+# re-measured. Each size's rows are deleted immediately before that
+# size's phase — the CSV always holds either round-4 or round-5 numbers
+# for a row, never a hole, and re-running this script resumes (the
+# report skips completed configs).
+# Reps follow the tunnel-scaled mapping documented in the CSV header.
+set -u
+cd "$(dirname "$0")/.."
+OUT=benchmarks/results_v5e.txt
+LOG=${1:-/tmp/sweep5}
+mkdir -p "$LOG"
+
+drop_size() { # drop_size <s>: delete this size's rows from the CSV
+  python - "$1" <<'EOF'
+import sys
+s = int(sys.argv[1])
+n = s * 1024 * 992
+path = "benchmarks/results_v5e.txt"
+lines = open(path).readlines()
+keep = [
+    ln for ln in lines
+    if not ln.split(",")[0].strip().isdigit()
+    or int(ln.split(",")[0]) != n
+]
+open(path, "w").writelines(keep)
+print(f"dropped {len(lines) - len(keep)} rows for s={s}", file=sys.stderr)
+EOF
+}
+
+run() { # run <timeout_s> <size> <reps>
+  local t=$1 s=$2 reps=$3
+  drop_size "$s"
+  for attempt in 1 2 3; do
+    timeout 120 python -u -c \
+      "import jax, jax.numpy as jnp; print(int(jnp.arange(8).sum()))" \
+      >/dev/null 2>&1 || { echo "[sweep5] s=$s sanity fail" >>"$LOG/sweep.log"; sleep 30; continue; }
+    timeout "$t" python -u -m benchmarks.report --sizes "$s" \
+      --reps "$reps" --device-timing --out "$OUT" >>"$LOG/sweep.log" 2>&1
+    local rc=$?
+    echo "[sweep5] s=$s attempt=$attempt rc=$rc" >>"$LOG/sweep.log"
+    [ "$rc" -eq 0 ] && return 0
+  done
+}
+
+run 2000 1 10
+run 2000 2 10
+run 2000 4 10
+run 2400 8 10
+run 2400 16 10
+run 2400 32 5
+run 3600 64 3
+run 9000 256 2
+run 7200 128 2
+echo "[sweep5] all done" >>"$LOG/sweep.log"
