@@ -33,7 +33,11 @@ keep = [
     if not ln.split(",")[0].strip().isdigit()
     or int(ln.split(",")[0]) != n
 ]
-open(path, "w").writelines(keep)
+import os, tempfile
+fd, tmp = tempfile.mkstemp(dir="benchmarks")
+with os.fdopen(fd, "w") as f:
+    f.writelines(keep)
+os.replace(tmp, path)  # atomic: an interruption cannot truncate the CSV
 print(f"dropped {len(lines) - len(keep)} rows for s={s}", file=sys.stderr)
 EOF
   touch "$LOG/dropped_$s"

@@ -14,7 +14,7 @@ from wah_tpu.ops.encode import encode_blocks
 from wah_tpu.ops.pallas.stitch2 import stitch_tiles_v2
 
 
-def _run(data: np.ndarray, B=8):
+def _run(data: np.ndarray, B=8, fused_rmw=True):
     n = len(data)
     nv = chunk_count(n)
     nb = -(-nv // BLOCK_CHUNKS)
@@ -27,9 +27,13 @@ def _run(data: np.ndarray, B=8):
         [[0], np.cumsum(np.asarray(counts))]
     ).astype(np.int32)
     total = int(offsets_ext[-1])
+    # poison=True keeps first-touch clobber bugs visible in the v3 body
+    # (the v4 body pre-zeroes and ignores poison)
     words = jax.jit(
-        stitch_tiles_v2, static_argnums=(2, 3)
-    )(staging, offsets_ext, B, True)
+        stitch_tiles_v2,
+        static_argnames=("tile_blocks", "poison", "fused_rmw"),
+    )(staging, offsets_ext, tile_blocks=B, poison=True,
+      fused_rmw=fused_rmw)
     return np.asarray(words)[:total]
 
 
@@ -52,7 +56,11 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("fused_rmw", [True, False],
+                         ids=["v4-fused", "v3-poisoned"])
 @pytest.mark.parametrize("name,gen", CASES, ids=[c[0] for c in CASES])
-def test_stitch2_matches_golden(name, gen):
+def test_stitch2_matches_golden(name, gen, fused_rmw):
     data = gen()
-    np.testing.assert_array_equal(_run(data), golden.encode(data))
+    np.testing.assert_array_equal(
+        _run(data, fused_rmw=fused_rmw), golden.encode(data)
+    )

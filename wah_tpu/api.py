@@ -222,7 +222,8 @@ class WahCodec:
         flags violations; decompress() falls back to the full variant).
         Returns None (= full 10+10 passes) when either bound exceeds 8
         bits — fill-heavy sparse streams route the whole range anyway.
-        Measured v5e (130 MB 2^-4): decode 5.85 -> X ms."""
+        Measured v5e (130 MB): decode 6.05 -> 5.41 ms at 2^-4
+        (24.0 GB/s), 5.86 -> 4.85 at 2^-2 (26.8 GB/s)."""
         step = max(1, words.shape[0] >> 16)
         sample = words[::step]
         if sample.shape[0] == 0:

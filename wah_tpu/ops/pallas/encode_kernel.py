@@ -834,8 +834,8 @@ def encode_padded(
     nv = _clamped_nv(n_valid_chunks, chunk_base, nb)
     staging, counts = encode_tiles(ints2d, nv, adaptive, route_bits)
     counts = counts[:, 0]
-    if route_bits < 10:  # violation bit rides counts bit 16
-        viol = jnp.max(counts >> 16)
+    if route_bits < 10:  # violation bit rides counts bit 16 (scalar)
+        violated = jnp.max(counts >> 16)
         counts = counts & 0xFFFF
     offsets_ext = jnp.concatenate(
         [jnp.zeros((1,), _I), jnp.cumsum(counts, dtype=_I)]
@@ -863,7 +863,7 @@ def encode_padded(
             (staging, offsets_ext),
         )
     if route_bits < 10:
-        return words[: nb * L], total, jnp.max(viol)
+        return words[: nb * L], total, violated
     return words[: nb * L], total
 
 
